@@ -1,0 +1,417 @@
+"""Core transcript pipelines: read → parse → enrich → aggregate/route.
+
+Each public function is one query from the driver contract
+(``__ray_entry__.queries()``), matched 1:1 by oracle SQL in ``oracle.py``.
+All column names are identical on both sides (driver hashes values under
+sorted column names).
+
+Shape (SURVEY.md §3.4): ``read_parquet`` (column-pruned) →
+``map_batches(parse_classify, batch_format="pyarrow")`` (stateless tasks) →
+``map_batches(EnrichStage, concurrency=…)`` (actor pool, broadcast lookups) →
+partial-preaggregated groupbys (pipelines/agg.py) / per-sink routing.
+Filters are vectorized pyarrow masks inside ``map_batches`` — never
+row-by-row ``Dataset.filter(fn)``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Sum
+
+from ..stages.enrich import EnrichStage, put_lookups
+from ..stages.parse import parse_classify
+from ..synth import ensure_transcripts
+from .agg import GroupSpec, grouped
+
+# actor-pool width for the enrichment stage; autoscales down when idle.
+ENRICH_CONCURRENCY = (1, 8)
+
+
+# ------------------------------------------------------------------ sources
+def read_transcripts(sf_dir: str) -> Dataset:
+    """S1/S3: parquet scan over the (generated-once) transcript shards."""
+    path = ensure_transcripts(sf_dir)
+    return ray.data.read_parquet(path)
+
+
+def event_dataset(sf_dir: str, with_text: bool = False) -> Dataset:
+    """parse/classify/flatten + actor-pool enrichment → event rows.
+
+    ``with_text=False`` drops the wide ``text`` column immediately after
+    parse so aggregation pipelines never shuffle or spill payload bytes.
+    """
+    ds = read_transcripts(sf_dir)
+    ds = ds.map_batches(parse_classify, batch_format="pyarrow", zero_copy_batch=True)
+    if not with_text:
+        ds = ds.map_batches(
+            lambda t: t.drop_columns(["text"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ref = put_lookups()
+    return ds.map_batches(
+        EnrichStage,
+        fn_constructor_kwargs={"lookups_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=ENRICH_CONCURRENCY,
+    )
+
+
+def _mask_batches(ds: Dataset, mask_fn) -> Dataset:
+    """Vectorized filter: mask_fn(pa.Table) -> boolean array."""
+    return ds.map_batches(
+        lambda t: t.filter(mask_fn(t)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _ok(t: pa.Table):
+    return pc.not_equal(t.column("op_class"), "x")
+
+
+# ------------------------------------------------------------------ queries
+def sink_counts(sf_dir: str) -> Dataset:
+    """A1/A4/A8: per-(sink,ns,op_class) count/total/min/max/avg — the
+    exact-match north-rule target (EntryAccumulator.java:41-71)."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    g = grouped(
+        ev,
+        GroupSpec(
+            keys=("sink", "ns", "op_class"),
+            sum_cols=("size",),
+            min_cols=("size",),
+            max_cols=("size",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        total = t.column("sum_size")
+        cnt = t.column("cnt")
+        return pa.table(
+            {
+                "sink": t.column("sink"),
+                "ns": t.column("ns"),
+                "op_class": t.column("op_class"),
+                "cnt": cnt,
+                "total": total,
+                "min_size": t.column("min_size"),
+                "max_size": t.column("max_size"),
+                # integer floor division, matching SUM(size) // COUNT(*)
+                "avg_size": pc.divide(total, cnt),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["total", "ns", "op_class"], descending=[True, False, False]
+    )
+
+
+def bucket_histogram(sf_dir: str) -> Dataset:
+    """A2: threshold-bucket histogram via pre-computed gt_* columns."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    g = grouped(
+        ev, GroupSpec(keys=("ns", "op_class"), sum_cols=("gt_512", "gt_4096"))
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "op_class": t.column("op_class"),
+                "cnt": t.column("cnt"),
+                "cnt_gt_512": t.column("sum_gt_512"),
+                "cnt_gt_4096": t.column("sum_gt_4096"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["ns", "op_class"])
+
+
+def hot_keys_topk(sf_dir: str, k: int = 20) -> Dataset:
+    """A5/A6: hot-conversation stats, top-K by count desc, deterministic
+    tie-break (ns, conv_id) (IdStatisticsManager.java:100-103 graft)."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    g = grouped(
+        ev,
+        GroupSpec(
+            keys=("ns", "conv_id"),
+            sum_cols=("size",),
+            min_cols=("size",),
+            max_cols=("size",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "conv_id": t.column("conv_id"),
+                "cnt": t.column("cnt"),
+                "total_size": t.column("sum_size"),
+                "min_size": t.column("min_size"),
+                "max_size": t.column("max_size"),
+            }
+        )
+
+    return (
+        g.map_batches(post, batch_format="pyarrow")
+        .sort(["cnt", "ns", "conv_id"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def events_flatten(sf_dir: str) -> Dataset:
+    """M4: the exploded inner tool-invocation events (applyOps analogue)."""
+    ev = _mask_batches(
+        event_dataset(sf_dir), lambda t: pc.greater(t.column("event_seq"), 0)
+    )
+    return ev.map_batches(
+        lambda t: t.select(
+            ["conv_id", "turn_idx", "event_seq", "ns", "op_class", "size", "tool"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["conv_id", "turn_idx", "event_seq"])
+
+
+def rejects(sf_dir: str) -> Dataset:
+    """F10: parse-failure rows routed to the reject sink."""
+    ev = _mask_batches(
+        event_dataset(sf_dir), lambda t: pc.equal(t.column("op_class"), "x")
+    )
+    return ev.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "ns", "size"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["conv_id", "turn_idx"])
+
+
+def global_scalars(sf_dir: str) -> pd.DataFrame:
+    """A9: global counters (total events/bytes, largest event, distinct convs)."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    slim = ev.map_batches(
+        lambda t: t.select(["conv_id", "size"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = slim.aggregate(Count(), Sum("size"), Max("size"))
+    # distinct conv count: per-block dedup, then a tiny keyed count
+    n_convs = (
+        slim.map_batches(
+            lambda t: t.select(["conv_id"]).group_by(["conv_id"]).aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("conv_id")
+        .count()
+        .count()
+    )
+    return pd.DataFrame(
+        {
+            "n_events": [agg["count()"]],
+            "total_bytes": [agg["sum(size)"]],
+            "max_size": [agg["max(size)"]],
+            "n_convs": [n_convs],
+        }
+    )
+
+
+def diff_stats(sf_dir: str) -> Dataset:
+    """M5/A3: update-diff statistics over parent update/command rows."""
+    ev = _mask_batches(
+        event_dataset(sf_dir),
+        lambda t: pc.and_(
+            pc.is_in(t.column("op_class"), value_set=pa.array(["u", "c"])),
+            pc.equal(t.column("event_seq"), 0),
+        ),
+    )
+    g = grouped(
+        ev,
+        GroupSpec(
+            keys=("ns", "op_class"),
+            count=False,
+            sum_cols=("diff_fields", "total_elements"),
+            count_valid=("diff_fields",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "op_class": t.column("op_class"),
+                "sum_diff_fields": pc.cast(t.column("sum_diff_fields"), pa.int64()),
+                "sum_total_elements": pc.cast(
+                    t.column("sum_total_elements"), pa.int64()
+                ),
+                "cnt_with_diff": t.column("cntv_diff_fields"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["ns", "op_class"])
+
+
+def category_counts(sf_dir: str) -> Dataset:
+    """J2: enrichment-join rollup per (category, sink)."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    g = grouped(ev, GroupSpec(keys=("category", "sink"), sum_cols=("size",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "category": t.column("category"),
+                "sink": t.column("sink"),
+                "cnt": t.column("cnt"),
+                "total": t.column("sum_size"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["cnt", "category", "sink"], descending=[True, False, False]
+    )
+
+
+def per_shard_stats(sf_dir: str) -> Dataset:
+    """A8: per-(ns,op) stats restricted to data namespaces (bucket*)."""
+    ev = _mask_batches(
+        event_dataset(sf_dir),
+        lambda t: pc.and_(_ok(t), pc.starts_with(t.column("ns"), "bucket")),
+    )
+    g = grouped(ev, GroupSpec(keys=("ns", "op_class"), sum_cols=("size",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "op_class": t.column("op_class"),
+                "cnt": t.column("cnt"),
+                "total": t.column("sum_size"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["ns", "op_class"])
+
+
+def update_freq(sf_dir: str) -> Dataset:
+    """A14: per-ns update frequency — two-level aggregate: first collapse to
+    (ns, conv_id) [the hot-key grain], then roll up to ns.  COUNT DISTINCT
+    becomes "count rows of the first level" — no distinct shuffle needed."""
+    ev = _mask_batches(
+        event_dataset(sf_dir), lambda t: pc.equal(t.column("op_class"), "u")
+    )
+    lvl1 = grouped(ev, GroupSpec(keys=("ns", "conv_id"), sum_cols=("size",)))
+    lvl2 = grouped(
+        lvl1.map_batches(
+            lambda t: pa.table(
+                {
+                    "ns": t.column("ns"),
+                    "upd": t.column("cnt"),
+                    "bytes": t.column("sum_size"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        GroupSpec(keys=("ns",), sum_cols=("upd", "bytes")),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        tot = pc.cast(t.column("sum_upd"), pa.int64())
+        uniq = t.column("cnt")
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "total_updates": tot,
+                "unique_ids": uniq,
+                "updates_per_id": pc.divide(
+                    pc.cast(tot, pa.float64()), pc.cast(uniq, pa.float64())
+                ),
+                "total_bytes": pc.cast(t.column("sum_bytes"), pa.int64()),
+            }
+        )
+
+    return lvl2.map_batches(post, batch_format="pyarrow").sort(
+        ["total_updates", "ns"], descending=[True, False]
+    )
+
+
+def collection_patterns(sf_dir: str) -> Dataset:
+    """A11: per-ns workload pattern labels (AnalyzeCommand.java:439-457
+    thresholds preserved exactly)."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    g = grouped(ev, GroupSpec(keys=("ns",), sum_cols=("size",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt")
+        avg = pc.divide(t.column("sum_size"), cnt)
+        pattern = pc.case_when(
+            pc.make_struct(
+                pc.greater(avg, 5000),
+                pc.and_(pc.greater(cnt, 10000), pc.less(avg, 1000)),
+            ),
+            "heavy-updates",
+            "frequent-small",
+            "mixed",
+        )
+        return pa.table(
+            {"ns": t.column("ns"), "cnt": cnt, "avg_size": avg, "pattern": pattern}
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["ns"])
+
+
+def routed_text(sf_dir: str) -> Dataset:
+    """North-rule routed-row / per-turn text equality surface: every parent
+    row with its sink, under stable sort (conv_id, turn_idx)."""
+    ev = _mask_batches(
+        event_dataset(sf_dir, with_text=True),
+        lambda t: pc.equal(t.column("event_seq"), 0),
+    )
+    return ev.map_batches(
+        lambda t: t.select(["sink", "conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["conv_id", "turn_idx"])
+
+
+FILTER_TS_BOUND = _dt.datetime(2025, 1, 1, 0, 5, 0)
+
+
+def filtered_events(sf_dir: str) -> Dataset:
+    """F2/F3/F4/F7 combined: op allow-list ∧ ns allow-list ∧ size range ∧
+    time range, all as one vectorized mask."""
+
+    def mask(t: pa.Table):
+        size = t.column("size")
+        return pc.and_(
+            pc.and_(
+                pc.is_in(t.column("op_class"), value_set=pa.array(["i", "u"])),
+                pc.starts_with(t.column("ns"), "bucket3."),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(size, 64), pc.less_equal(size, 2048)
+                ),
+                pc.greater_equal(
+                    t.column("ts"), pa.scalar(FILTER_TS_BOUND, pa.timestamp("us"))
+                ),
+            ),
+        )
+
+    ev = _mask_batches(event_dataset(sf_dir), mask)
+    return ev.map_batches(
+        lambda t: t.select(
+            ["conv_id", "turn_idx", "event_seq", "ns", "op_class", "size"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["conv_id", "turn_idx", "event_seq"])

@@ -1,0 +1,72 @@
+"""Stateful actor-pool enrichment stage (SURVEY.md §2.4 ST1, §2.5 J1/J2).
+
+Grafts the reference's lookup-join machinery — the ``fetchDocSizes`` batched
+point-lookup (TailCommand.java:398-463) and the implicit classification maps
+(BaseOplogCommand.java:97) — into the idiomatic Ray Data shape: a callable
+CLASS passed to ``map_batches(EnrichStage, concurrency=N)``.  The small side
+(tool→category, op_class→sink lookup tables) is broadcast ONCE via
+``ray.put`` on the driver; each actor resolves the object ref in
+``__init__`` (one fetch per actor, not per batch) and pre-builds Arrow
+key/value arrays so the per-batch join is a vectorized ``pc.index_in`` +
+``pc.take`` with an explicit fallback slot — mirroring the reference's
+fallback-to-oplog-size on lookup miss (TailCommand.java:447).
+
+At cluster scale this is the broadcast-join pattern: the lookup table ships
+through the object store once per node, never per batch, and no shuffle is
+needed for the join.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..schema import OP_SINKS, TOOL_CATEGORIES, TOOL_CATEGORY_FALLBACK
+
+
+def default_lookups() -> dict[str, dict[str, str]]:
+    """The enrichment tables; tiny, but broadcast like any small join side."""
+    return {
+        "tool_categories": dict(TOOL_CATEGORIES),
+        "op_sinks": dict(OP_SINKS),
+    }
+
+
+def put_lookups(lookups: dict | None = None) -> "ray.ObjectRef":
+    """Driver-side: place the lookup tables in the object store once."""
+    return ray.put(lookups or default_lookups())
+
+
+class _ArrowLookup:
+    """dict[str,str] compiled to Arrow arrays for vectorized join-with-fallback."""
+
+    def __init__(self, mapping: dict[str, str], fallback: str):
+        self.keys = pa.array(list(mapping.keys()), pa.string())
+        # one extra slot at the end = the fallback value for misses
+        self.vals = pa.array(list(mapping.values()) + [fallback], pa.string())
+        self.miss_index = len(mapping)
+
+    def take(self, arr: pa.ChunkedArray) -> pa.ChunkedArray:
+        idx = pc.index_in(arr, value_set=self.keys)
+        return pc.take(self.vals, pc.fill_null(idx, self.miss_index))
+
+
+class EnrichStage:
+    """Adds ``category`` (tool join) and ``sink`` (op_class routing key).
+
+    Usage::
+
+        ref = put_lookups()                       # once, on the driver
+        ds.map_batches(EnrichStage, fn_constructor_kwargs={"lookups_ref": ref},
+                       batch_format="pyarrow", concurrency=(1, 8))
+    """
+
+    def __init__(self, lookups_ref=None):
+        lookups = ray.get(lookups_ref) if lookups_ref is not None else default_lookups()
+        self._cat = _ArrowLookup(lookups["tool_categories"], TOOL_CATEGORY_FALLBACK)
+        self._sink = _ArrowLookup(lookups["op_sinks"], "rejects")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.append_column("category", self._cat.take(batch.column("tool")))
+        return batch.append_column("sink", self._sink.take(batch.column("op_class")))

@@ -1,0 +1,64 @@
+"""Merge-semantics + invariance tests (SURVEY.md §5.1/§5.5).
+
+Pins that our partial→final aggregation implements the reference's CORRECT
+``EntryAccumulator.merge`` (component-wise count/total/min/max,
+EntryAccumulator.java:210-229) and NOT the lossy ``ScanCommand.java:338-356``
+replay which destroys min/max; and that grouped stats are invariant under
+repartitioning (the salting/partial-combine correctness property)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from oplog_analyzer_ray.pipelines.agg import GroupSpec, grouped
+
+
+def _make_ds(sizes_by_key, num_blocks):
+    keys, sizes = [], []
+    for k, vals in sizes_by_key.items():
+        keys += [k] * len(vals)
+        sizes += vals
+    t = pa.table({"k": pa.array(keys, pa.string()),
+                  "size": pa.array(sizes, pa.int64())})
+    return ray.data.from_arrow(t).repartition(num_blocks)
+
+
+SPEC = GroupSpec(keys=("k",), sum_cols=("size",), min_cols=("size",),
+                 max_cols=("size",))
+
+
+def _stats(ds):
+    out = {}
+    for row in grouped(ds, SPEC).take_all():
+        out[row["k"]] = (row["cnt"], row["sum_size"], row["min_size"],
+                         row["max_size"])
+    return out
+
+
+def test_merge_preserves_min_max_across_blocks():
+    data = {"a": [100, 1, 999, 50], "b": [7]}
+    # force the extremes into different blocks: 4 blocks over 5 rows
+    got = _stats(_make_ds(data, num_blocks=4))
+    assert got["a"] == (4, 1150, 1, 999)  # lossy replay would give min==max==avg
+    assert got["b"] == (1, 7, 7, 7)
+
+
+def test_invariant_under_repartitioning():
+    rng = np.random.default_rng(7)
+    data = {f"k{i}": rng.integers(1, 10_000, size=int(n)).tolist()
+            for i, n in enumerate([1, 3, 17, 200])}
+    a = _stats(_make_ds(data, num_blocks=1))
+    b = _stats(_make_ds(data, num_blocks=13))
+    assert a == b
+
+
+def test_null_values_excluded_like_sql():
+    t = pa.table({"k": pa.array(["a", "a", "b"], pa.string()),
+                  "v": pa.array([None, 5, None], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    spec = GroupSpec(keys=("k",), sum_cols=("v",), count_valid=("v",))
+    rows = {r["k"]: r for r in grouped(ds, spec).take_all()}
+    assert rows["a"]["sum_v"] == 5 and rows["a"]["cntv_v"] == 1
+    assert rows["a"]["cnt"] == 2  # COUNT(*) still counts null rows
+    assert rows["b"]["sum_v"] is None and rows["b"]["cntv_v"] == 0
