@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data transcript log-pipeline engine.
+
+Headline pipeline (BASELINE.json north_star): parse → enrich → route (per-sink
+partitioned parquet write) → aggregate (per-sink grouped stats + hot-key
+top-K read back column-pruned from the routed output).
+
+Prints exactly ONE JSON line on stdout:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage/per-query sec...}, "sf": .., "num_cpus": N,
+   "rows": n, "turns_per_sec": r}
+
+--scaling runs the headline job twice in FRESH processes (num_cpus=8 then 32,
+the in-sandbox proxy for N vs 4N nodes) on the same input and reports both
+throughputs plus scaling efficiency = (T_small / T_big) / (cpus_big/cpus_small).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _corpus_rows(src_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(src_dir, f)).num_rows
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from oplog_analyzer_ray.pipelines import core
+    from oplog_analyzer_ray.pipelines.route import route
+    from oplog_analyzer_ray.synth import ensure_transcripts
+
+    src_dir = ensure_transcripts(sf_dir)  # warm, cached; generation untimed
+    n_rows = _corpus_rows(src_dir)
+
+    # untimed warmup on a SMALL corpus: spawns worker processes, imports, and
+    # read-planning caches so the timed run measures steady-state throughput,
+    # not cold-start — without paying a full extra pass over the real input
+    warm_root = tempfile.mkdtemp(prefix="bench_warmup_")
+    try:
+        route("/root/testdata/sf0.01", warm_root)
+    finally:
+        shutil.rmtree(warm_root, ignore_errors=True)
+
+    out_root = tempfile.mkdtemp(prefix="bench_routed_")
+    timings: dict[str, float] = {}
+    try:
+        t0 = time.monotonic()
+        route(sf_dir, out_root)
+        timings["route_write"] = time.monotonic() - t0
+
+        # aggregate pass over the routed output, column-pruned at the read
+        t0 = time.monotonic()
+        from oplog_analyzer_ray.pipelines.agg import GroupSpec, grouped, topk
+
+        # column-pruned read of the routed output, materialized once and
+        # shared by both aggregations (5 narrow columns, no payload bytes)
+        routed = ray.data.read_parquet(
+            os.path.join(out_root, "data"),
+            columns=["sink", "ns", "op_class", "size", "conv_id"],
+        ).materialize()
+        grouped(
+            routed,
+            GroupSpec(
+                keys=("sink", "ns", "op_class"),
+                sum_cols=("size",),
+                min_cols=("size",),
+                max_cols=("size",),
+            ),
+        ).materialize()
+        topk(
+            grouped(routed, GroupSpec(keys=("ns", "conv_id"), sum_cols=("size",))),
+            20,
+            [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
+        ).materialize()
+        timings["aggregate"] = time.monotonic() - t0
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    total = timings["route_write"] + timings["aggregate"]
+
+    if not headline_only:
+        for qname in ("sink_counts", "hot_keys_topk", "update_freq",
+                      "filtered_events"):
+            t0 = time.monotonic()
+            res = getattr(core, qname)(sf_dir)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            timings[f"q_{qname}"] = time.monotonic() - t0
+
+    ray.shutdown()
+    sf = float(os.path.basename(os.path.normpath(sf_dir))[2:])
+    return {
+        "metric": "e2e parse→enrich→route→aggregate",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": n_rows,
+        "turns_per_sec": round(n_rows / total, 1),
+    }
+
+
+def run_scaling(sf_dir: str, cpus_small: int, cpus_big: int) -> dict:
+    # this sandbox shows ~2x run-to-run noise (shared VM; page-cache/plasma
+    # churn between Ray sessions): interleave two runs per level with settle
+    # pauses and keep the min — standard best-of-N for noisy hosts
+    results: dict[int, dict] = {}
+    for cpus in (cpus_small, cpus_big, cpus_small, cpus_big):
+        time.sleep(15)  # let the previous session's cleanup churn settle
+        out = subprocess.run(
+            [sys.executable, __file__, "--sf-dir", sf_dir, "--cpus", str(cpus),
+             "--headline-only"],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if cpus not in results or r["value"] < results[cpus]["value"]:
+            results[cpus] = r
+    t_small, t_big = results[cpus_small]["value"], results[cpus_big]["value"]
+    eff = (t_small / t_big) / (cpus_big / cpus_small)
+    return {
+        "metric": f"scaling {cpus_small}→{cpus_big} cpus (N vs 4N proxy)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"sec_cpus{cpus_small}": t_small,
+            f"sec_cpus{cpus_big}": t_big,
+            f"turns_per_sec_cpus{cpus_small}": results[cpus_small]["turns_per_sec"],
+            f"turns_per_sec_cpus{cpus_big}": results[cpus_big]["turns_per_sec"],
+            "speedup": round(t_small / t_big, 3),
+        },
+        "sf": results[cpus_big]["sf"],
+        "num_cpus": cpus_big,
+        "rows": results[cpus_big]["rows"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cpus", default="8,32",
+                    help="small,big cpu counts for --scaling")
+    args = ap.parse_args()
+    if args.scaling:
+        small, big = (int(x) for x in args.scaling_cpus.split(","))
+        # pre-generate the corpus once so neither child pays generation time
+        from oplog_analyzer_ray.synth import ensure_transcripts
+
+        ensure_transcripts(args.sf_dir)
+        result = run_scaling(args.sf_dir, small, big)
+    else:
+        result = run_bench(args.sf_dir, args.cpus, args.headline_only)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

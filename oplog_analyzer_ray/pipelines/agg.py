@@ -3,8 +3,8 @@
 This is the engine's version of the reference's per-shard-private-accumulator →
 merge pattern ("no contention", TailCommand.java:1003-1007, merge at
 1084-1146): every block first collapses into one partial row per group via a
-vectorized ``pyarrow.Table.group_by`` inside ``map_batches``, and only the tiny
-partials go through the Ray Data ``groupby().aggregate()`` shuffle.
+vectorized ``pyarrow.Table.group_by`` inside ``map_batches``, and only the
+partials go through the final hash-bucketed exchange.
 
 Why this matters at 100 TB: the naive ``ds.groupby(keys).aggregate(...)`` moves
 EVERY row through an all-to-all exchange.  With the partial stage, the shuffle
@@ -24,10 +24,12 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 from ray.data import Dataset
-from ray.data.aggregate import Max, Min, Sum
 
 
 @dataclass(frozen=True)
@@ -72,23 +74,124 @@ def _partial_batch(batch: pa.Table, spec: GroupSpec) -> pa.Table:
     return t.group_by(list(spec.keys)).aggregate(aggs)
 
 
-def grouped(ds: Dataset, spec: GroupSpec) -> Dataset:
-    """partial-per-block pre-aggregate → small final shuffle → renamed stats."""
+# rows of partials combined per compaction task (tree-combine tier)
+COMPACT_BATCH = 200_000
+
+
+def _combine_partials(batch: pa.Table, spec: GroupSpec) -> pa.Table:
+    """Merge partial rows (same schema in and out): the tree-combine tier.
+
+    Collapses many tiny per-block partials into a handful of blocks so the
+    final keyed shuffle and everything downstream (sort/limit) pays per-block
+    overhead on ~1 block instead of one per upstream task."""
+    aggs, renames = [], {}
+    if spec.count:
+        aggs.append(("_ones_sum", "sum"))
+        renames["_ones_sum_sum"] = "_ones_sum"
+    for c in spec.sum_cols:
+        aggs.append((f"{c}_sum", "sum"))
+        renames[f"{c}_sum_sum"] = f"{c}_sum"
+    for c in spec.min_cols:
+        aggs.append((f"{c}_min", "min"))
+        renames[f"{c}_min_min"] = f"{c}_min"
+    for c in spec.max_cols:
+        aggs.append((f"{c}_max", "max"))
+        renames[f"{c}_max_max"] = f"{c}_max"
+    for c in spec.count_valid:
+        aggs.append((f"{c}_count", "sum"))
+        renames[f"{c}_count_sum"] = f"{c}_count"
+    out = batch.group_by(list(spec.keys)).aggregate(aggs)
+    return out.rename_columns([renames.get(c, c) for c in out.column_names])
+
+
+# buckets for the final keyed exchange; at cluster scale this is the shuffle
+# width (one merge task per bucket)
+MERGE_BUCKETS = 64
+
+
+def _bucket_of(t: pa.Table, keys: tuple[str, ...], buckets: int) -> pa.Array:
+    """Deterministic cross-process hash bucket of the composite key
+    (pandas hash_array uses a fixed siphash key, so every worker agrees)."""
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    for k in keys:
+        arr = t.column(k).to_pandas().to_numpy()
+        h = h * np.uint64(1_000_003) + pd.util.hash_array(arr, categorize=False)
+    return pa.array((h % buckets).astype(np.int64))
+
+
+def _final_names(spec: GroupSpec) -> dict[str, str]:
+    names = {}
+    if spec.count:
+        names["_ones_sum"] = "cnt"
+    for c in spec.sum_cols:
+        names[f"{c}_sum"] = f"sum_{c}"
+    for c in spec.min_cols:
+        names[f"{c}_min"] = f"min_{c}"
+    for c in spec.max_cols:
+        names[f"{c}_max"] = f"max_{c}"
+    for c in spec.count_valid:
+        names[f"{c}_count"] = f"cntv_{c}"
+    return names
+
+
+def grouped(ds: Dataset, spec: GroupSpec, buckets: int = MERGE_BUCKETS) -> Dataset:
+    """partial-per-block pre-aggregate → compaction combine → hash-bucketed
+    exact merge → final stats columns.
+
+    The final exchange is a ``groupby(_bucket).map_groups`` over the small
+    int bucket key, with the per-bucket merge done as ONE vectorized arrow
+    ``group_by`` — NOT Ray's ``groupby(keys).aggregate(...)``, whose
+    sort-based reduce pays per-key Python overhead (measured 29s vs 0.7s for
+    450k distinct keys at sf1).  Buckets = shuffle width; each bucket's
+    merge is exact because hashing co-locates every partial of a key.
+    """
     partial = ds.map_batches(
         _partial_batch,
         fn_kwargs={"spec": spec},
         batch_format="pyarrow",
         zero_copy_batch=True,
+    ).map_batches(
+        _combine_partials,
+        fn_kwargs={"spec": spec},
+        batch_format="pyarrow",
+        batch_size=COMPACT_BATCH,
     )
-    finals = []
-    if spec.count:
-        finals.append(Sum("_ones_sum", alias_name="cnt"))
-    for c in spec.sum_cols:
-        finals.append(Sum(f"{c}_sum", alias_name=f"sum_{c}"))
-    for c in spec.min_cols:
-        finals.append(Min(f"{c}_min", alias_name=f"min_{c}"))
-    for c in spec.max_cols:
-        finals.append(Max(f"{c}_max", alias_name=f"max_{c}"))
-    for c in spec.count_valid:
-        finals.append(Sum(f"{c}_count", alias_name=f"cntv_{c}"))
-    return partial.groupby(list(spec.keys)).aggregate(*finals)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bucket", _bucket_of(t, spec.keys, buckets))
+
+    names = _final_names(spec)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        out = _combine_partials(t.drop_columns(["_bucket"]), spec)
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    return (
+        partial.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow")
+    )
+
+
+def topk(ds: Dataset, k: int, sort_keys: list[tuple[str, str]]) -> Dataset:
+    """Distributed deterministic top-K under a TOTAL order.
+
+    A global ``sort().limit(k)`` range-partitions every group row; for top-K
+    that is wasted shuffle.  Instead each block keeps only its local top-K
+    (``pc.select_k_unstable`` — safe because the composite key is a total
+    order, so there are no ties for "unstable" to scramble), leaving at most
+    ``blocks × k`` rows for the final tiny sort+limit.  This is the graft of
+    the reference's sort-the-accumulator-map top-K
+    (IdStatisticsManager.java:100-103) that still works when the key space
+    (hot conv_ids at 10^12-turn scale) dwarfs driver memory.
+    """
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        return t.take(pc.select_k_unstable(t, k=k, sort_keys=sort_keys))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    cols = [s[0] for s in sort_keys]
+    desc = [s[1] == "descending" for s in sort_keys]
+    return pruned.sort(cols, descending=desc).limit(k)

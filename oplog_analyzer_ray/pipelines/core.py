@@ -29,10 +29,13 @@ from ray.data.aggregate import Count, Max, Sum
 from ..stages.enrich import EnrichStage, put_lookups
 from ..stages.parse import parse_classify
 from ..synth import ensure_transcripts
-from .agg import GroupSpec, grouped
+from .agg import GroupSpec, grouped, topk
 
-# actor-pool width for the enrichment stage; autoscales down when idle.
-ENRICH_CONCURRENCY = (1, 8)
+def ENRICH_CONCURRENCY() -> tuple[int, int]:
+    """Actor-pool width for the enrichment stage: autoscale up to the
+    cluster's CPU count (sized at call time, not import time)."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(4, cpus))
 
 
 # ------------------------------------------------------------------ sources
@@ -62,7 +65,7 @@ def event_dataset(sf_dir: str, with_text: bool = False) -> Dataset:
         fn_constructor_kwargs={"lookups_ref": ref},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=ENRICH_CONCURRENCY,
+        concurrency=ENRICH_CONCURRENCY(),
     )
 
 
@@ -163,10 +166,10 @@ def hot_keys_topk(sf_dir: str, k: int = 20) -> Dataset:
             }
         )
 
-    return (
-        g.map_batches(post, batch_format="pyarrow")
-        .sort(["cnt", "ns", "conv_id"], descending=[True, False, False])
-        .limit(k)
+    return topk(
+        g.map_batches(post, batch_format="pyarrow"),
+        k,
+        [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
     )
 
 

@@ -1,0 +1,151 @@
+"""Routing fan-out: per-sink partitioned Parquet writers + resumable manifest.
+
+Grafts the reference's per-shard dump writers (ST4, TailCommand.java:227-342;
+SampleCommand.java:359-400) into ``write_parquet(partition_cols=["part",
+"sink"])``: one directory per (input shard, sink) so output is resumable and
+never one giant file.  The ``part`` lineage column is derived from the input
+file path (``include_paths=True``) and rides through the parse stage.
+
+Resume protocol (north_rule; SURVEY.md §7.2 step 7):
+1. load manifest; drop input shards already committed;
+2. clean any partial output dirs of UNcommitted shards (a crashed run's
+   half-written files) — makes re-processing idempotent;
+3. run one streaming job per commit group: read → parse → enrich → write;
+4. collect per-unit metrics from written parquet FOOTERS (row counts, ts
+   column max) — no second data pass — and commit atomically.
+
+A fresh run and a crash+resume run produce identical sink counts
+(tests/test_route_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..stages.enrich import EnrichStage, put_lookups
+from ..stages.parse import parse_classify
+from ..state.manifest import Manifest
+from ..synth import ensure_transcripts
+from .core import ENRICH_CONCURRENCY
+
+
+
+def _unit_of(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def _add_part(batch: pa.Table) -> pa.Table:
+    part = pc.replace_substring_regex(
+        batch.column("path"), r"^.*/([^/]+)\.parquet$", r"\1"
+    )
+    return batch.drop_columns(["path"]).append_column("part", part)
+
+
+def _unit_metrics(data_dir: str, unit: str) -> dict:
+    """Exact per-unit metrics from written parquet footers (no data pass)."""
+    part_dir = os.path.join(data_dir, f"part={unit}")
+    sink_counts: dict[str, int] = {}
+    out_files: list[str] = []
+    max_ts = None
+    rows = 0
+    for sink_ent in sorted(os.scandir(part_dir), key=lambda e: e.name):
+        if not sink_ent.name.startswith("sink="):
+            continue
+        sink = sink_ent.name.split("=", 1)[1]
+        n = 0
+        for f in sorted(os.scandir(sink_ent.path), key=lambda e: e.name):
+            if not f.name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(f.path).metadata
+            n += md.num_rows
+            ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                if st is not None and st.has_min_max:
+                    m = st.max.isoformat()
+                    max_ts = m if max_ts is None or m > max_ts else max_ts
+            out_files.append(os.path.relpath(f.path, data_dir))
+        sink_counts[sink] = n
+        rows += n
+    return {
+        "unit": unit,
+        "rows": rows,
+        "sink_counts": sink_counts,
+        "max_ts": max_ts,
+        "output_files": out_files,
+    }
+
+
+def route(
+    sf_dir: str,
+    out_root: str,
+    units_per_commit: int | None = None,
+    max_commits: int | None = None,
+) -> Manifest:
+    """Parse → enrich → fan out to per-(part, sink) parquet; resumable."""
+    src_dir = ensure_transcripts(sf_dir)
+    files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    data_dir = os.path.join(out_root, "data")
+    manifest = Manifest(os.path.join(out_root, "manifest.json"))
+    todo = [f for f in files if _unit_of(f) not in manifest.finished()]
+    if not todo:
+        return manifest
+
+    # idempotent re-processing: clear partial output of uncommitted units
+    for f in todo:
+        part_dir = os.path.join(data_dir, f"part={_unit_of(f)}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+
+    g = units_per_commit or len(todo)
+    groups = [todo[i : i + g] for i in range(0, len(todo), g)]
+    if max_commits is not None:
+        groups = groups[:max_commits]
+    lookups_ref = put_lookups()
+    for group in groups:
+        t0 = time.monotonic()
+        # one block per input shard: blocks stay part-aligned end-to-end, so
+        # the partitioned write emits one file per (part, sink) instead of
+        # one per (task, part-fragment, sink) — output file count bounds the
+        # read-planning cost of every later pass over the routed data
+        ds = ray.data.read_parquet(
+            group, include_paths=True, override_num_blocks=len(group)
+        )
+        ds = ds.map_batches(_add_part, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(
+            parse_classify, batch_format="pyarrow", zero_copy_batch=True
+        )
+        ds = ds.map_batches(
+            EnrichStage,
+            fn_constructor_kwargs={"lookups_ref": lookups_ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=ENRICH_CONCURRENCY(),
+        )
+        ds.write_parquet(data_dir, partition_cols=["part", "sink"])
+        wall = time.monotonic() - t0
+        entries = []
+        for f in group:
+            e = _unit_metrics(data_dir, _unit_of(f))
+            e["input_file"] = f
+            e["wall_secs_group"] = round(wall, 3)
+            entries.append(e)
+        manifest.commit(entries)
+    return manifest
+
+
+def read_routed(out_root: str) -> "ray.data.Dataset":
+    """Read the routed output back (hive-partitioned on part/sink)."""
+    return ray.data.read_parquet(os.path.join(out_root, "data"))

@@ -61,8 +61,17 @@ def _map_values(arr, mapping: dict[str, str], default: str):
     return pc.take(vals, pc.fill_null(idx, len(mapping)))
 
 
+_INPUT_COLS = frozenset({"conv_id", "turn_idx", "role", "text", "tool", "ts"})
+
+
 def parse_classify(batch: pa.Table) -> pa.Table:
-    """pa.Table(transcript rows) -> pa.Table(event rows); len(out) >= len(in)."""
+    """pa.Table(transcript rows) -> pa.Table(event rows); len(out) >= len(in).
+
+    Extra (non-input-schema) columns — e.g. the ``part`` lineage column the
+    routing stage adds from the input file path — pass through unchanged
+    (replicated onto exploded inner rows).
+    """
+    passthrough = [c for c in batch.column_names if c not in _INPUT_COLS]
     text = batch.column("text")
     role = batch.column("role")
     tool = batch.column("tool")
@@ -126,6 +135,8 @@ def parse_classify(batch: pa.Table) -> pa.Table:
             "text": text,
         }
     )
+    for c in passthrough:
+        full = full.append_column(c, batch.column(c))
     keep = pc.invert(is_config)
     parents = full.filter(keep)
 
@@ -164,5 +175,7 @@ def parse_classify(batch: pa.Table) -> pa.Table:
                 "text": pa.array([None] * len(rep), pa.string()),
             }
         )
+        for c in passthrough:
+            inners = inners.append_column(c, pc.take(sub.column(c), rep_idx))
         return pa.concat_tables([parents, inners])
     return parents

@@ -36,12 +36,19 @@ import pyarrow.parquet as pq
 
 from .schema import CONFIG_PREFIX, CORRUPT_PREFIX
 
-GENERATOR_VERSION = 1
+GENERATOR_VERSION = 2
 SEED = 42
 EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z in microseconds
 TURNS_PER_SF = 6_000_000  # sf0.01 -> 60k turns (matches lineitem row scale)
 DEFAULT_CACHE_ROOT = "/tmp/graft_transcripts_v%d" % GENERATOR_VERSION
-NUM_FILES = 8  # input shards; also the resume-test partition grain
+NUM_FILES = 8  # minimum input shards; also the resume-test partition grain
+ROW_GROUP_SIZE = 10_000  # small row groups so reads can split across CPUs
+
+
+def num_files_for(n_turns: int) -> int:
+    """More shards at larger scale so the read stage parallelises; 8 at the
+    test scales (the resume-test partition grain), up to 64 for bench runs."""
+    return max(NUM_FILES, min(64, n_turns // 25_000))
 
 _REAL_TOOLS = np.array(["search", "code", "browser", "calc"])
 
@@ -164,7 +171,7 @@ def ensure_transcripts(
     sf_dir: str,
     n_turns: int | None = None,
     cache_root: str = DEFAULT_CACHE_ROOT,
-    num_files: int = NUM_FILES,
+    num_files: int | None = None,
 ) -> str:
     """Generate (once, atomically) the transcript corpus for an sf dir.
 
@@ -177,6 +184,8 @@ def ensure_transcripts(
         return out_dir
     if n_turns is None:
         n_turns = max(1000, int(TURNS_PER_SF * sf_from_dir(sf_dir)))
+    if num_files is None:
+        num_files = num_files_for(n_turns)
     table = generate_transcripts(n_turns)
     os.makedirs(cache_root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=cache_root)
@@ -186,7 +195,11 @@ def ensure_transcripts(
             chunk = table.slice(f * rows_per, rows_per)
             if chunk.num_rows == 0:
                 break
-            pq.write_table(chunk, os.path.join(tmp, f"part-{f:03d}.parquet"))
+            pq.write_table(
+                chunk,
+                os.path.join(tmp, f"part-{f:03d}.parquet"),
+                row_group_size=ROW_GROUP_SIZE,
+            )
         os.rename(tmp, out_dir)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1,0 +1,70 @@
+"""Routing + manifest + resume (SURVEY.md §5.3, north_rule).
+
+- per-sink counts from the manifest equal the DuckDB oracle's sink counts;
+- a run killed after K commits, then resumed, yields byte-identical
+  sink counts and row data to a fresh full run;
+- routed rows read back equal the oracle's event rows (text equality under
+  stable sort by (conv_id, turn_idx) — the north-rule per-turn check).
+"""
+
+import shutil
+
+import pyarrow.compute as pc
+import pytest
+
+from oplog_analyzer_ray import oracle
+from oplog_analyzer_ray.pipelines.route import read_routed, route
+from oplog_analyzer_ray.synth import ensure_transcripts
+
+from .util import assert_frames_match
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def out_root(tmp_path):
+    d = str(tmp_path / "routed")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _oracle_sink_counts(duck):
+    ensure_transcripts(SF_DIR)
+    sql = oracle.events_cte(SF_DIR) + "SELECT sink, COUNT(*) AS n FROM events GROUP BY sink"
+    return dict(duck.execute(sql).fetchall())
+
+
+def test_route_full_run_counts_match_oracle(duck, out_root):
+    manifest = route(SF_DIR, out_root)
+    assert manifest.sink_totals() == _oracle_sink_counts(duck)
+    assert len(manifest.finished()) == 8  # all input shards committed
+    ent = next(iter(manifest.units.values()))
+    assert ent["max_ts"] and ent["output_files"] and ent["sink_counts"]
+
+
+def test_route_resume_identical_to_fresh(duck, out_root):
+    # crash after the first commit group (3 of 8 units)
+    m1 = route(SF_DIR, out_root, units_per_commit=3, max_commits=1)
+    assert len(m1.finished()) == 3
+    # resume: only remaining units processed; totals match a fresh run
+    m2 = route(SF_DIR, out_root)
+    assert len(m2.finished()) == 8
+    assert m2.sink_totals() == _oracle_sink_counts(duck)
+
+
+def test_routed_rows_text_equality(duck, out_root):
+    route(SF_DIR, out_root)
+    ds = read_routed(out_root)
+    got = (
+        ds.map_batches(
+            lambda t: t.filter(pc.equal(t["event_seq"], 0)).select(
+                ["sink", "conv_id", "turn_idx", "text"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["conv_id", "turn_idx"])
+    )
+    want = duck.execute(
+        oracle.events_cte(SF_DIR) + oracle.ROUTED_TEXT
+    ).fetchdf()
+    assert_frames_match(got, want, "routed_text_roundtrip")
