@@ -15,7 +15,9 @@ from collections.abc import Callable
 from typing import Any
 
 from oplog_analyzer_ray import oracle
-from oplog_analyzer_ray.pipelines import core
+from oplog_analyzer_ray.pipelines import core, dedup, similarity, text
+from oplog_analyzer_ray.pipelines import events as ev
+from oplog_analyzer_ray.stages.media import media_features
 from oplog_analyzer_ray.synth import ensure_transcripts
 
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
@@ -42,6 +44,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_patterns": core.collection_patterns,  # A11
         "routed_text": core.routed_text,  # north-rule text equality
         "filtered_events": core.filtered_events,  # F2/F3/F4/F7
+        # --- training-data operators (documents / embeddings / events) ---
+        "token_counts": text.token_counts,
+        "quality_scores": text.quality_scores,
+        "lang_id": text.lang_id,
+        "doc_fingerprints": text.doc_fingerprints,
+        "exact_dedup": dedup.exact_dedup,
+        "minhash_signatures": dedup.minhash_signatures,
+        "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
+        "near_dup_jaccard": dedup.near_dup_jaccard,
+        "simhash64": dedup.simhash64,  # no SQL oracle (rows-only)
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
+        "sessionization": ev.sessionization,
+        "tumbling_window": ev.tumbling_window,
+        "media_features": media_features,  # codec stubbed; plumbing real
     }
 
 
@@ -64,4 +81,19 @@ def oracle_sql() -> dict[str, str]:
         "collection_patterns": cte + oracle.COLLECTION_PATTERNS,
         "routed_text": cte + oracle.ROUTED_TEXT,
         "filtered_events": oracle.filters_sql(_ORACLE_SF_DIR),
+        # training-data ops (documents/events/embeddings views); simhash64
+        # and knn_lsh intentionally omitted (non-SQL-expressible /
+        # approximate → driver's rows-only check)
+        "token_counts": oracle.TOKEN_COUNTS,
+        "quality_scores": oracle.QUALITY_SCORES,
+        "lang_id": oracle.LANG_ID,
+        "doc_fingerprints": oracle.DOC_FINGERPRINTS,
+        "exact_dedup": oracle.EXACT_DEDUP,
+        "minhash_signatures": oracle.MINHASH_SIGNATURES,
+        "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
+        "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
+        "knn_bruteforce": oracle.KNN_BRUTEFORCE,
+        "sessionization": oracle.SESSIONIZATION,
+        "tumbling_window": oracle.TUMBLING_WINDOW,
+        "media_features": oracle.MEDIA_FEATURES,
     }

@@ -1,0 +1,118 @@
+"""Streaming-style operators over the ``events`` table.
+
+The reference's streaming surface is a single running window with periodic
+reports (SURVEY.md §2.10); these grafts add the two window shapes a batch
+log engine actually needs:
+
+- ``sessionization``: gap-based sessions per user (custom operator — Ray
+  Data has no native session window).  Implemented as a bucketed exchange
+  on user hash + a vectorized within-bucket pandas pass (sort by (user, ts),
+  ``shift``/``cumsum`` for boundaries) — the partitioning assumption is that
+  one user's events fit one bucket task, which holds as long as no single
+  user exceeds a block (salt by time-range if one does).
+- ``tumbling_window``: fixed 1-day windows per event_type via the
+  partial-preaggregated grouped() pipeline (window key is just a derived
+  column — no special operator needed).
+
+Both have exact DuckDB oracles (window functions / date_trunc).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+
+from .agg import GroupSpec, grouped
+
+SESSION_GAP_S = 7200  # new session when idle > 2h
+BUCKETS = 32
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def sessionization(sf_dir: str) -> Dataset:
+    """Per-user gap sessions: (user_id, session_id, n_events, start_ts,
+    end_ts, sum_value) with session_id dense from 0 per user."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        df["_bucket"] = (h % BUCKETS).astype("int64")
+        return df
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        # sum in integer cents: order-independent and bit-identical to the
+        # SQL SUM(CAST(round(value*100) AS BIGINT))/100.0 (values are
+        # 2-decimal; float summation order differs between engines)
+        cents = (df["value"] * 100).round().astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = (df["ts"] - df["ts"].shift()).dt.total_seconds()
+        new_sess = new_user | (gap > SESSION_GAP_S)
+        sess_seq = new_sess.cumsum()
+        g = df.groupby(sess_seq, sort=False)
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].first(),
+                "n_events": g.size().astype("int64"),
+                "start_ts": g["ts"].min(),
+                "end_ts": g["ts"].max(),
+                "sum_value": cents.groupby(sess_seq, sort=False).sum() / 100.0,
+            }
+        ).reset_index(drop=True)
+        out["session_id"] = out.groupby("user_id", sort=False).cumcount()
+        return out[
+            ["user_id", "session_id", "n_events", "start_ts", "end_ts", "sum_value"]
+        ]
+
+    ev = read_events(sf_dir, ["user_id", "ts", "value"])
+    return (
+        ev.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sessions, batch_format="pandas")
+        .sort(["user_id", "session_id"])
+    )
+
+
+def tumbling_window(sf_dir: str) -> Dataset:
+    """Per-(event_type, day) tumbling-window counts and value sums."""
+
+    def add_day(t: pa.Table) -> pa.Table:
+        # integer-cents value so the partial/merge sums are order-independent
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "cents": cents,
+            }
+        )
+
+    ev = read_events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+        add_day, batch_format="pyarrow"
+    )
+    g = grouped(ev, GroupSpec(keys=("event_type", "day"), sum_cols=("cents",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": t.column("day"),
+                "cnt": t.column("cnt"),
+                "sum_value": pc.divide(
+                    pc.cast(t.column("sum_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["event_type", "day"])

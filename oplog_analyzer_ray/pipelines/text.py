@@ -1,0 +1,142 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline stages beyond the reference's own surface
+(the reference analyzes oplogs only; these are the text-corpus analogues of
+its per-record classify/measure loop, BaseOplogCommand.java:91-103):
+token counting, quality scoring, language-ID heuristics, and document
+fingerprinting.  Every rule here is mirrored exactly by oracle SQL in
+``oracle.py`` (driver runs both at sf0.01).
+
+All stages are single-pass ``map_batches`` over pandas batches (vectorized
+``str`` kernels; the per-row work is tokenization, which pandas does in C).
+No shuffle: each is embarrassingly parallel and scales linearly with input
+blocks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from ray.data import Dataset
+
+# language marker tokens (disjoint per language; tie-break: lang asc)
+LANG_MARKERS = {
+    "de": ("der", "und"),
+    "en": ("the", "a"),
+    "es": ("el", "la"),
+    "fr": ("le", "et"),
+}
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+def _trunc6(s):
+    """Truncate to 6dp: floor(x*1e6)/1e6 — bit-identical to the SQL
+    ``floor(x*1000000)/1000000`` (unlike ROUND, whose half-way rule differs
+    between numpy round-half-even and DuckDB round-half-away)."""
+    return np.floor(s * 1e6) / 1e6
+
+
+def _md5_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: hashlib.md5(x.encode()).hexdigest())
+
+
+def token_counts(sf_dir: str) -> Dataset:
+    """Whitespace token counting + char stats per document."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().astype("int64")
+        uniq = toks.map(lambda t: len(set(t))).astype("int64")
+        avg_len = toks.map(lambda t: float(np.mean([len(x) for x in t])))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n,
+                "n_chars": df["text"].str.len().astype("int64"),
+                "uniq_tokens": uniq,
+                "avg_token_len": _trunc6(avg_len),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def quality_scores(sf_dir: str) -> Dataset:
+    """Stopword/uniqueness quality heuristic (0..1, higher = better)."""
+    stop = {"the", "a"}
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().astype("float64")
+        stop_hits = toks.map(lambda t: sum(1 for x in t if x in stop))
+        uniq = toks.map(lambda t: len(set(t))).astype("float64")
+        stop_ratio = stop_hits / n
+        uniq_ratio = uniq / n
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "stopword_ratio": _trunc6(stop_ratio),
+                "uniq_ratio": _trunc6(uniq_ratio),
+                "quality": _trunc6(0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio)),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def lang_id(sf_dir: str) -> Dataset:
+    """Marker-token language-ID heuristic; argmax hits, tie-break lang asc,
+    zero hits → 'unknown'.  Compared against the table's labelled ``lang``."""
+    langs = sorted(LANG_MARKERS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        hits = {
+            lang: toks.map(
+                lambda t, m=set(LANG_MARKERS[lang]): sum(1 for x in t if x in m)
+            ).astype("int64")
+            for lang in langs
+        }
+        hm = pd.DataFrame(hits)
+        best = hm.idxmax(axis=1)  # first (lang-asc) max wins: ties deterministic
+        best[hm.max(axis=1) == 0] = "unknown"
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "pred_lang": best,
+                "labelled_lang": df["lang"],
+                **{f"hits_{lang}": hm[lang] for lang in langs},
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def doc_fingerprints(sf_dir: str) -> Dataset:
+    """Content fingerprint per document (md5 + short prefix)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fp = _md5_series(df["text"])
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "fp": fp, "fp8": fp.str.slice(0, 8)}
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -1,6 +1,8 @@
 """End-to-end parity: every queries() entry vs its DuckDB oracle (SURVEY.md §5.2).
 
 Runs at sf0.001 for speed; the driver repeats the same comparison at sf0.01.
+Queries over the testdata tables (documents/events/embeddings) get those
+views registered, mirroring the driver's pre-registered views.
 """
 
 import duckdb
@@ -14,7 +16,7 @@ from .util import assert_frames_match
 
 SF_DIR = "/root/testdata/sf0.001"
 
-_BODIES = {
+_TRANSCRIPT_BODIES = {
     "sink_counts": oracle.SINK_COUNTS,
     "bucket_histogram": oracle.BUCKET_HISTOGRAM,
     "hot_keys_topk": oracle.HOT_KEYS_TOPK,
@@ -29,22 +31,57 @@ _BODIES = {
     "routed_text": oracle.ROUTED_TEXT,
 }
 
+_TABLE_SQL = {
+    "token_counts": oracle.TOKEN_COUNTS,
+    "quality_scores": oracle.QUALITY_SCORES,
+    "lang_id": oracle.LANG_ID,
+    "doc_fingerprints": oracle.DOC_FINGERPRINTS,
+    "exact_dedup": oracle.EXACT_DEDUP,
+    "minhash_signatures": oracle.MINHASH_SIGNATURES,
+    "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
+    "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
+    "knn_bruteforce": oracle.KNN_BRUTEFORCE,
+    "sessionization": oracle.SESSIONIZATION,
+    "tumbling_window": oracle.TUMBLING_WINDOW,
+    "media_features": oracle.MEDIA_FEATURES,
+}
+
+# non-SQL-expressible / approximate → rows-only in the driver, no parity here
+NO_ORACLE = {"simhash64", "knn_lsh"}
+
+
+@pytest.fixture(scope="session")
+def duck_views(duck):
+    for t in ("documents", "events", "embeddings"):
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return duck
+
 
 def _oracle_sql_for(name: str) -> str:
-    ensure_transcripts(SF_DIR)
     if name == "filtered_events":
+        ensure_transcripts(SF_DIR)
         return oracle.filters_sql(SF_DIR)
-    return oracle.events_cte(SF_DIR) + _BODIES[name]
+    if name in _TRANSCRIPT_BODIES:
+        ensure_transcripts(SF_DIR)
+        return oracle.events_cte(SF_DIR) + _TRANSCRIPT_BODIES[name]
+    return _TABLE_SQL[name]
 
 
-@pytest.mark.parametrize("name", sorted(list(_BODIES) + ["filtered_events"]))
-def test_query_matches_oracle(name, duck):
+_ALL = sorted(list(_TRANSCRIPT_BODIES) + ["filtered_events"] + list(_TABLE_SQL))
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_query_matches_oracle(name, duck_views):
     fn = entrymod.queries()[name]
     got = fn(SF_DIR)
-    want = duck.execute(_oracle_sql_for(name)).fetchdf()
+    want = duck_views.execute(_oracle_sql_for(name)).fetchdf()
     assert_frames_match(got, want, name)
 
 
 def test_oracle_sql_keys_cover_queries():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
-    assert set(osql) == set(qs)
+    assert set(osql) == set(qs) - NO_ORACLE
+    assert NO_ORACLE <= set(qs)
