@@ -15,7 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 from oplog_analyzer_ray import oracle
-from oplog_analyzer_ray.pipelines import core, dedup, similarity, text
+from oplog_analyzer_ray.pipelines import analyze, core, dedup, sample, similarity, text
 from oplog_analyzer_ray.pipelines import events as ev
 from oplog_analyzer_ray.stages.media import media_features
 from oplog_analyzer_ray.synth import ensure_transcripts
@@ -44,6 +44,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_patterns": core.collection_patterns,  # A11
         "routed_text": core.routed_text,  # north-rule text equality
         "filtered_events": core.filtered_events,  # F2/F3/F4/F7
+        "sample_membership": sample.sample_membership,  # ST3 min-K distinct
+        "sampled_events": sample.sampled_events,  # J5 broadcast semi-join
+        "shard_workloads": analyze.shard_workloads,  # A10/A12
+        "shard_skew": analyze.shard_skew,  # A13
+        "redacted_summaries": analyze.redacted_summaries,  # M6
         # --- training-data operators (documents / embeddings / events) ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -81,6 +86,11 @@ def oracle_sql() -> dict[str, str]:
         "collection_patterns": cte + oracle.COLLECTION_PATTERNS,
         "routed_text": cte + oracle.ROUTED_TEXT,
         "filtered_events": oracle.filters_sql(_ORACLE_SF_DIR),
+        "sample_membership": cte + oracle.SAMPLE_MEMBERSHIP,
+        "sampled_events": cte + oracle.SAMPLED_EVENTS,
+        "shard_workloads": cte + oracle.SHARD_WORKLOADS,
+        "shard_skew": cte + oracle.SHARD_SKEW,
+        "redacted_summaries": cte + oracle.REDACTED_SUMMARIES,
         # training-data ops (documents/events/embeddings views); simhash64
         # and knn_lsh intentionally omitted (non-SQL-expressible /
         # approximate → driver's rows-only check)

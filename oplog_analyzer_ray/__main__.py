@@ -1,0 +1,151 @@
+"""CLI entry points mirroring the reference's subcommand surface
+(OplogAnalyzer.java:11-13: scan / tail / analyze / sample → here
+route / report / analyze / sample over transcript Parquet).
+
+Owns its Ray session (guarded init; scripts always shut down cleanly —
+the library itself never calls ray.init, per the driver contract).
+
+Usage:
+  python -m oplog_analyzer_ray route   --sf-dir DIR --out OUT [--units-per-commit N] [--shard-index 0,2]
+  python -m oplog_analyzer_ray report  --sf-dir DIR [--top N]
+  python -m oplog_analyzer_ray analyze --sf-dir DIR
+  python -m oplog_analyzer_ray sample  --sf-dir DIR [--k N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def parse_iso_ts(s: str) -> _dt.datetime:
+    """M9: ISO-8601 CLI timestamp → filter bound (ScanCommand.java:101-134)."""
+    return _dt.datetime.fromisoformat(s)
+
+
+def cmd_route(args) -> None:
+    from .pipelines.route import route
+
+    manifest = route(
+        args.sf_dir,
+        args.out,
+        units_per_commit=args.units_per_commit,
+        shard_indexes=args.shard_indexes,
+    )
+    totals = manifest.sink_totals()
+    print(f"routed {sum(totals.values())} events over "
+          f"{len(manifest.finished())} partitions -> {args.out}")
+    for sink, n in sorted(totals.items()):
+        print(f"  {sink:<10} {n}")
+    print(f"watermark: {manifest.watermark()}")
+
+
+def cmd_report(args) -> None:
+    from .functions.format import byte_display, max_width, truncate_middle
+    from .pipelines.core import hot_keys_topk, sink_counts
+
+    rows = sink_counts(args.sf_dir).take_all()
+    w = max_width([r["ns"] for r in rows], "ns")
+    print(f"{'sink':<10} {'ns':<{w}} {'op':<3} {'count':>9} "
+          f"{'total':>10} {'avg':>9} {'max':>9}")
+    for r in rows:
+        print(
+            f"{r['sink']:<10} {truncate_middle(r['ns'], w):<{w}} "
+            f"{r['op_class']:<3} {r['cnt']:>9} "
+            f"{byte_display(r['total']):>10} {byte_display(r['avg_size']):>9} "
+            f"{byte_display(r['max_size']):>9}"
+        )
+    print("\ntop conversations by event count:")
+    for r in hot_keys_topk(args.sf_dir, k=args.top).take_all():
+        print(f"  {r['ns']:<24} {r['conv_id']:<14} {r['cnt']:>7} "
+              f"{byte_display(r['total_size']):>10}")
+
+
+def cmd_analyze(args) -> None:
+    from .pipelines.analyze import shard_skew, shard_workloads, skew_recommendation
+    from .pipelines.core import collection_patterns
+
+    print("== shard workloads ==")
+    for r in shard_workloads(args.sf_dir).take_all():
+        print(f"  {r['shard']:<10} ops={r['total_ops']:<8} "
+              f"bytes={r['total_bytes']:<10} avg={r['avg_bytes_per_op']:<6} "
+              f"{r['workload_group']}")
+    print("== collection patterns ==")
+    for r in collection_patterns(args.sf_dir).take_all():
+        print(f"  {r['ns']:<24} n={r['cnt']:<8} avg={r['avg_size']:<6} "
+              f"{r['pattern']}")
+    print("== cross-shard skew ==")
+    for r in shard_skew(args.sf_dir).to_pylist():
+        flag = " OUTLIER" if r["outlier"] else ""
+        print(f"  {r['shard']:<10} ops_dev={r['ops_dev_pct']:+.2f}% "
+              f"bytes_dev={r['bytes_dev_pct']:+.2f}%{flag}")
+    rec = skew_recommendation(args.sf_dir)
+    print(f"avg-size ratio {rec['avg_size_ratio']}; "
+          f"{'REVIEW RECOMMENDED' if rec['recommend_review'] else 'balanced'}; "
+          f"{rec['n_outliers']} outlier shard(s)")
+
+
+def cmd_sample(args) -> None:
+    from .pipelines.sample import sample_membership, sampled_events
+
+    member = sample_membership(args.sf_dir, args.k)
+    n = sampled_events(args.sf_dir, args.k).count()
+    print(f"membership: {member.num_rows} (ns, conv) pairs; "
+          f"followed events: {n}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="oplog_analyzer_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("route")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--units-per-commit", type=int, default=None)
+    p.add_argument("--shard-index", dest="shard_indexes", default=None,
+                   type=lambda s: [int(x) for x in s.split(",")])
+    p.set_defaults(fn=cmd_route)
+
+    p = sub.add_parser("report")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--top", type=int, default=10)
+    p.set_defaults(fn=cmd_report)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("--sf-dir", required=True)
+    p.set_defaults(fn=cmd_analyze)
+
+    p = sub.add_parser("sample")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--k", type=int, default=5)
+    p.set_defaults(fn=cmd_sample)
+
+    args = ap.parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        args.fn(args)
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,16 +26,18 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Sum
 
-from ..stages.enrich import EnrichStage, put_lookups
+from ..stages.enrich import EnrichStage, make_enrich_fn, put_lookups
 from ..stages.parse import parse_classify
 from ..synth import ensure_transcripts
 from .agg import GroupSpec, grouped, topk
 
 def ENRICH_CONCURRENCY() -> tuple[int, int]:
-    """Actor-pool width for the enrichment stage: autoscale up to the
-    cluster's CPU count (sized at call time, not import time)."""
+    """Actor-pool width for the enrichment stage: pre-start half the
+    cluster's CPUs (autoscaling from 1 wastes several seconds of ramp-up on
+    short jobs) and autoscale up to the full count, leaving headroom for the
+    downstream write tasks.  Sized at call time, not import time."""
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(4, cpus))
+    return (max(2, cpus // 2), max(4, cpus))
 
 
 # ------------------------------------------------------------------ sources
@@ -45,11 +47,19 @@ def read_transcripts(sf_dir: str) -> Dataset:
     return ray.data.read_parquet(path)
 
 
-def event_dataset(sf_dir: str, with_text: bool = False) -> Dataset:
-    """parse/classify/flatten + actor-pool enrichment → event rows.
+def event_dataset(
+    sf_dir: str, with_text: bool = False, use_actors: bool = False
+) -> Dataset:
+    """parse/classify/flatten + broadcast-lookup enrichment → event rows.
 
     ``with_text=False`` drops the wide ``text`` column immediately after
     parse so aggregation pipelines never shuffle or spill payload bytes.
+
+    Enrichment state (the broadcast lookup tables) is loaded once per worker
+    either way; ``use_actors=True`` runs it as an explicit actor pool
+    (``EnrichStage``), the default runs it as tasks with per-worker cached
+    state — identical semantics, but tasks reuse warm worker processes, so
+    short jobs skip the actor-pool spawn latency.
     """
     ds = read_transcripts(sf_dir)
     ds = ds.map_batches(parse_classify, batch_format="pyarrow", zero_copy_batch=True)
@@ -60,12 +70,16 @@ def event_dataset(sf_dir: str, with_text: bool = False) -> Dataset:
             zero_copy_batch=True,
         )
     ref = put_lookups()
+    if use_actors:
+        return ds.map_batches(
+            EnrichStage,
+            fn_constructor_kwargs={"lookups_ref": ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=ENRICH_CONCURRENCY(),
+        )
     return ds.map_batches(
-        EnrichStage,
-        fn_constructor_kwargs={"lookups_ref": ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=ENRICH_CONCURRENCY(),
+        make_enrich_fn(ref), batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -30,11 +30,10 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..stages.enrich import EnrichStage, put_lookups
+from ..stages.enrich import make_enrich_fn, put_lookups
 from ..stages.parse import parse_classify
 from ..state.manifest import Manifest
 from ..synth import ensure_transcripts
-from .core import ENRICH_CONCURRENCY
 
 
 
@@ -89,14 +88,20 @@ def route(
     out_root: str,
     units_per_commit: int | None = None,
     max_commits: int | None = None,
+    shard_indexes: list[int] | None = None,
 ) -> Manifest:
-    """Parse → enrich → fan out to per-(part, sink) parquet; resumable."""
+    """Parse → enrich → fan out to per-(part, sink) parquet; resumable.
+
+    ``shard_indexes`` selects a subset of the sorted input shards by index
+    (F8, the ``--shardIndex`` graft, ScanCommand.java:166-196)."""
     src_dir = ensure_transcripts(sf_dir)
     files = sorted(
         os.path.join(src_dir, f)
         for f in os.listdir(src_dir)
         if f.endswith(".parquet")
     )
+    if shard_indexes is not None:
+        files = [files[i] for i in shard_indexes]
     data_dir = os.path.join(out_root, "data")
     manifest = Manifest(os.path.join(out_root, "manifest.json"))
     todo = [f for f in files if _unit_of(f) not in manifest.finished()]
@@ -128,19 +133,31 @@ def route(
             parse_classify, batch_format="pyarrow", zero_copy_batch=True
         )
         ds = ds.map_batches(
-            EnrichStage,
-            fn_constructor_kwargs={"lookups_ref": lookups_ref},
+            make_enrich_fn(lookups_ref),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=ENRICH_CONCURRENCY(),
         )
         ds.write_parquet(data_dir, partition_cols=["part", "sink"])
         wall = time.monotonic() - t0
+        commit_time = time.time()
+        # footer scans are tiny metadata reads — parallel threads, not serial
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            metrics = list(
+                pool.map(lambda f: _unit_metrics(data_dir, _unit_of(f)), group)
+            )
         entries = []
-        for f in group:
-            e = _unit_metrics(data_dir, _unit_of(f))
+        for f, e in zip(group, metrics):
             e["input_file"] = f
             e["wall_secs_group"] = round(wall, 3)
+            # M10 lag analogue (TailCommand.java:1073-1082): commit wallclock
+            # minus the partition's event-time watermark, floored at 0
+            if e["max_ts"]:
+                import datetime as _dt
+
+                wm = _dt.datetime.fromisoformat(e["max_ts"]).timestamp()
+                e["lag_secs"] = round(max(0.0, commit_time - wm), 3)
             entries.append(e)
         manifest.commit(entries)
     return manifest

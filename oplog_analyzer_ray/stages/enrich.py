@@ -52,6 +52,33 @@ class _ArrowLookup:
         return pc.take(self.vals, pc.fill_null(idx, self.miss_index))
 
 
+# per-worker-process cache for the task-based variant: the broadcast ref is
+# resolved once per worker (same cost profile as the actor __init__), and
+# warm worker processes are REUSED across jobs — unlike actors, which spawn
+# fresh processes per Dataset and pay import+startup on every short job.
+_TASK_CACHE: dict[int, "EnrichStage"] = {}
+
+
+def make_enrich_fn(lookups_ref=None):
+    """Task-based enrichment with per-worker cached state.
+
+    Functionally identical to the ``EnrichStage`` actor pool (same broadcast
+    lookup tables, same vectorized join); use this for short jobs where
+    actor-pool spawn latency would dominate, and the actor pool for
+    long-running pipelines that want explicit pool sizing."""
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        key = id(lookups_ref) if lookups_ref is not None else 0
+        stage = _TASK_CACHE.get(key)
+        if stage is None:
+            stage = EnrichStage(lookups_ref)
+            _TASK_CACHE.clear()  # at most one lookup set per worker
+            _TASK_CACHE[key] = stage
+        return stage(batch)
+
+    return enrich
+
+
 class EnrichStage:
     """Adds ``category`` (tool join) and ``sink`` (op_class routing key).
 

@@ -1,0 +1,102 @@
+"""CLI smoke tests, declarative pipeline builder, and format utils
+(SURVEY.md §2.11 extension surface, M7/M8)."""
+
+import pyarrow.compute as pc
+
+from oplog_analyzer_ray.functions.format import (
+    byte_display,
+    max_width,
+    truncate_middle,
+)
+from oplog_analyzer_ray.pipelines.config import build_pipeline
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_format_utils():
+    assert byte_display(512) == "512 B"
+    assert byte_display(2048) == "2.0 KB"
+    assert byte_display(5 * (1 << 20) + (1 << 19)) == "5.5 MB"
+    assert byte_display(3 << 30) == "3.0 GB"
+    assert truncate_middle("bucket3.ingest", 50) == "bucket3.ingest"
+    t = truncate_middle("a" * 30 + "Z" + "b" * 30, 21)
+    assert len(t) == 21 and "..." in t and t.startswith("a") and t.endswith("b")
+    assert max_width(["abc", "defgh"], "ns") == 5
+    assert max_width([], "ns") == 2
+
+
+def test_declarative_pipeline_matches_handwritten():
+    import datetime as dt
+
+    steps = [
+        {"op": "parse"},
+        {"op": "drop_text"},
+        {"op": "enrich"},
+        {"op": "filter_ops", "values": ["i", "u"]},
+        {"op": "filter_ns", "prefix": "bucket3."},
+        {"op": "filter_size", "min": 64, "max": 2048},
+        {"op": "filter_time", "gte": dt.datetime(2025, 1, 1, 0, 5, 0)},
+        {"op": "select",
+         "columns": ["conv_id", "turn_idx", "event_seq", "ns", "op_class", "size"]},
+    ]
+    built = build_pipeline(SF_DIR, steps).to_pandas()
+    from oplog_analyzer_ray.pipelines.core import filtered_events
+
+    want = filtered_events(SF_DIR).to_pandas()
+    got = built.sort_values(list(built.columns)).reset_index(drop=True)
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_pipeline_rejects_unknown_step():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown pipeline step"):
+        build_pipeline(SF_DIR, [{"op": "nope"}])
+
+
+def test_cli_report_and_analyze(capsys):
+    from oplog_analyzer_ray.__main__ import cmd_analyze, cmd_report
+
+    class A:
+        sf_dir = SF_DIR
+        top = 3
+
+    cmd_report(A())
+    out = capsys.readouterr().out
+    assert "top conversations" in out and "bucket" in out
+
+    cmd_analyze(A())
+    out = capsys.readouterr().out
+    assert "shard workloads" in out and "skew" in out
+
+
+def test_cli_route_and_sample(tmp_path, capsys):
+    from oplog_analyzer_ray.__main__ import cmd_route, cmd_sample
+
+    class R:
+        sf_dir = SF_DIR
+        out = str(tmp_path / "routed")
+        units_per_commit = None
+        shard_indexes = [0, 2]
+
+    cmd_route(R())
+    out = capsys.readouterr().out
+    assert "2 partitions" in out and "watermark" in out
+
+    class S:
+        sf_dir = SF_DIR
+        k = 3
+
+    cmd_sample(S())
+    out = capsys.readouterr().out
+    assert "membership" in out
+
+
+def test_media_stage_stub_fails_fast():
+    import pytest
+
+    from oplog_analyzer_ray.stages.media import MediaFeatureStage
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaFeatureStage(codec="libjpeg")

@@ -29,6 +29,11 @@ _TRANSCRIPT_BODIES = {
     "update_freq": oracle.UPDATE_FREQ,
     "collection_patterns": oracle.COLLECTION_PATTERNS,
     "routed_text": oracle.ROUTED_TEXT,
+    "sample_membership": oracle.SAMPLE_MEMBERSHIP,
+    "sampled_events": oracle.SAMPLED_EVENTS,
+    "shard_workloads": oracle.SHARD_WORKLOADS,
+    "shard_skew": oracle.SHARD_SKEW,
+    "redacted_summaries": oracle.REDACTED_SUMMARIES,
 }
 
 _TABLE_SQL = {
