@@ -432,3 +432,51 @@ def filtered_events(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).sort(["conv_id", "turn_idx", "event_seq"])
+
+
+ALERT_THRESHOLD = 4096  # F5 --threshold analogue
+ID_STATS_THRESHOLD = 2048  # F6 --idStatsThreshold analogue
+
+
+def threshold_alerts(sf_dir: str) -> Dataset:
+    """F5: the debug-threshold side output — events whose size exceeds the
+    alert threshold, with their identity (BaseOplogCommand.java:152-165's
+    log line as a routed sub-stream instead of stdout)."""
+    ev = _mask_batches(
+        event_dataset(sf_dir),
+        lambda t: pc.and_(_ok(t), pc.greater_equal(t.column("size"), ALERT_THRESHOLD)),
+    )
+    return ev.map_batches(
+        lambda t: t.select(["ns", "conv_id", "turn_idx", "op_class", "size"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["conv_id", "turn_idx"])
+
+
+def hot_keys_thresholded(sf_dir: str, k: int = 20) -> Dataset:
+    """F6 + A5/A6: hot-key stats restricted to events at or above the
+    id-stats threshold (filter BEFORE the groupby, mirroring the
+    pre-insert check in IdStatisticsManager.java:70-72)."""
+    ev = _mask_batches(
+        event_dataset(sf_dir),
+        lambda t: pc.and_(
+            _ok(t), pc.greater_equal(t.column("size"), ID_STATS_THRESHOLD)
+        ),
+    )
+    g = grouped(ev, GroupSpec(keys=("ns", "conv_id"), sum_cols=("size",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "conv_id": t.column("conv_id"),
+                "cnt": t.column("cnt"),
+                "total_size": t.column("sum_size"),
+            }
+        )
+
+    return topk(
+        g.map_batches(post, batch_format="pyarrow"),
+        k,
+        [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
+    )

@@ -29,6 +29,8 @@ _TRANSCRIPT_BODIES = {
     "update_freq": oracle.UPDATE_FREQ,
     "collection_patterns": oracle.COLLECTION_PATTERNS,
     "routed_text": oracle.ROUTED_TEXT,
+    "threshold_alerts": oracle.THRESHOLD_ALERTS,
+    "hot_keys_thresholded": oracle.HOT_KEYS_THRESHOLDED,
     "sample_membership": oracle.SAMPLE_MEMBERSHIP,
     "sampled_events": oracle.SAMPLED_EVENTS,
     "shard_workloads": oracle.SHARD_WORKLOADS,
