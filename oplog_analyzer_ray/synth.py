@@ -47,8 +47,8 @@ ROW_GROUP_SIZE = 10_000  # small row groups so reads can split across CPUs
 
 def num_files_for(n_turns: int) -> int:
     """More shards at larger scale so the read stage parallelises; 8 at the
-    test scales (the resume-test partition grain), up to 64 for bench runs."""
-    return max(NUM_FILES, min(64, n_turns // 25_000))
+    test scales (the resume-test partition grain), up to 128 for bench runs."""
+    return max(NUM_FILES, min(128, n_turns // 25_000))
 
 _REAL_TOOLS = np.array(["search", "code", "browser", "calc"])
 
