@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": dedup.simhash64,  # no SQL oracle (rows-only)
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
+        "embedding_near_dups": similarity.embedding_near_dups,
         "sessionization": ev.sessionization,
         "tumbling_window": ev.tumbling_window,
         "media_features": media_features,  # codec stubbed; plumbing real
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
+        "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
         "sessionization": oracle.SESSIONIZATION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,

@@ -180,3 +180,58 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> pa.Table:
         ),
         preserve_index=False,
     )
+
+
+NEAR_DUP_COS = 0.4
+
+
+def embedding_near_dups(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.4.
+
+    Each block compares its rows against the ray.put-broadcast normalized
+    matrix (fetched once per worker from the object store), emitting only
+    above-threshold pairs — O(rows_in_block × n) per task, exact.  At corpus
+    scales where the matrix no longer broadcasts, the LSH bucket machinery
+    above becomes the candidate generator (bucketed self-join, approximate),
+    with this exact kernel applied within buckets.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+    allm = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    alln = allm / np.linalg.norm(allm, axis=1, keepdims=True)
+    all_ids = t["vec_id"].to_numpy()
+    ref = ray.put((all_ids, alln))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids, an = ray.get(ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mn @ an.T  # (block_rows, n)
+        vid = df["vec_id"].to_numpy()
+        bi, aj = np.nonzero(cos >= NEAR_DUP_COS)
+        keep = vid[bi] < ids[aj]  # unordered pairs once, no self
+        return pd.DataFrame(
+            {
+                "vec_a": vid[bi[keep]],
+                "vec_b": ids[aj[keep]],
+                "cos": np.floor(cos[bi[keep], aj[keep]] * 1e6) / 1e6,
+            }
+        )
+
+    out = (
+        read_embeddings(sf_dir)
+        .map_batches(pairs, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(
+        out,
+        schema=pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
+        ),
+        preserve_index=False,
+    )

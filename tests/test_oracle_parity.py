@@ -48,6 +48,7 @@ _TABLE_SQL = {
     "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
     "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
+    "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
     "sessionization": oracle.SESSIONIZATION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
