@@ -47,7 +47,33 @@ def read_transcripts(sf_dir: str) -> Dataset:
     return ray.data.read_parquet(path)
 
 
+# parsed-event cache: (sf_dir, with_text) -> materialized Dataset, valid for
+# one Ray session (job id).  The driver and the test session run MANY queries
+# over the same corpus; re-running read+parse+enrich per query would be the
+# single biggest cost of the whole contract.  Objects live in the object
+# store (spillable); cache is invalidated when the Ray session changes.
+_EVENT_CACHE: dict = {}
+
+
+def _session_token() -> str:
+    return ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
+
+
 def event_dataset(
+    sf_dir: str, with_text: bool = False, use_actors: bool = False
+) -> Dataset:
+    key = (sf_dir, with_text, use_actors, _session_token())
+    cached = _EVENT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ds = _event_dataset_uncached(sf_dir, with_text, use_actors).materialize()
+    if len(_EVENT_CACHE) > 4:  # keep at most a few corpora pinned
+        _EVENT_CACHE.clear()
+    _EVENT_CACHE[key] = ds
+    return ds
+
+
+def _event_dataset_uncached(
     sf_dir: str, with_text: bool = False, use_actors: bool = False
 ) -> Dataset:
     """parse/classify/flatten + broadcast-lookup enrichment → event rows.
