@@ -55,6 +55,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
+        # default is ~43% of RAM; larger corpora (sf5/sf10) otherwise spill
+        # to the slow shared disk mid-pipeline and mask compute scaling
+        object_store_memory=int(50e9),
     )
     import ray.data
 
