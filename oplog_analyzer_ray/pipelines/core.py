@@ -7,10 +7,12 @@ sorted column names).
 
 Shape (SURVEY.md §3.4): ``read_parquet`` (column-pruned) →
 ``map_batches(parse_classify, batch_format="pyarrow")`` (stateless tasks) →
-``map_batches(EnrichStage, concurrency=…)`` (actor pool, broadcast lookups) →
+broadcast-lookup enrichment (task variant with per-worker cached state by
+default; ``EnrichStage`` actor pool via ``use_actors=True``) →
 partial-preaggregated groupbys (pipelines/agg.py) / per-sink routing.
 Filters are vectorized pyarrow masks inside ``map_batches`` — never
-row-by-row ``Dataset.filter(fn)``.
+row-by-row ``Dataset.filter(fn)``.  The parsed event Dataset is
+materialized once per session and shared across queries.
 """
 
 from __future__ import annotations

@@ -1,0 +1,34 @@
+"""End-to-end CLI smoke via real subprocesses (argparse layer + own Ray
+session), mirroring how a reference user would invoke the tool."""
+
+import json
+import subprocess
+import sys
+
+
+def _run(args, timeout=240):
+    return subprocess.run(
+        [sys.executable, *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd="/root/repo",
+    )
+
+
+def test_cli_report_subprocess():
+    r = _run(["-m", "oplog_analyzer_ray", "--num-cpus", "4", "report",
+              "--sf-dir", "/root/testdata/sf0.001", "--top", "3"])
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "top conversations" in r.stdout
+
+
+def test_bench_headline_prints_one_json_line(tmp_path):
+    r = _run(["bench.py", "--sf-dir", "/root/testdata/sf0.001",
+              "--cpus", "4", "--headline-only"], timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert d["unit"] == "sec" and d["rows"] > 0 and "queries" in d
+    assert set(d) >= {"metric", "value", "queries", "sf", "num_cpus"}
