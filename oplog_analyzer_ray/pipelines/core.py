@@ -250,17 +250,9 @@ def global_scalars(sf_dir: str) -> pd.DataFrame:
         zero_copy_batch=True,
     )
     agg = slim.aggregate(Count(), Sum("size"), Max("size"))
-    # distinct conv count: per-block dedup, then a tiny keyed count
-    n_convs = (
-        slim.map_batches(
-            lambda t: t.select(["conv_id"]).group_by(["conv_id"]).aggregate([]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .groupby("conv_id")
-        .count()
-        .count()
-    )
+    # distinct conv count via the bucketed exact merge (NOT Ray's per-key
+    # groupby reduce); distinct = row count of the grouped result
+    n_convs = grouped(slim, GroupSpec(keys=("conv_id",), count=False)).count()
     return pd.DataFrame(
         {
             "n_events": [agg["count()"]],
