@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- transcript log pipeline (SURVEY.md §2; north-rule surface) ---
         "sink_counts": core.sink_counts,  # A1/A4/A8 exact-match target
         "bucket_histogram": core.bucket_histogram,  # A2
+        "bucket_histogram_custom": core.bucket_histogram_custom,  # A2 --thresholdBuckets
         "hot_keys_topk": core.hot_keys_topk,  # A5/A6
         "events_flatten": core.events_flatten,  # M4
         "rejects": core.rejects,  # F10
@@ -78,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "sink_counts": cte + oracle.SINK_COUNTS,
         "bucket_histogram": cte + oracle.BUCKET_HISTOGRAM,
+        "bucket_histogram_custom": cte + oracle.bucket_histogram_custom_sql(),
         "hot_keys_topk": cte + oracle.HOT_KEYS_TOPK,
         "events_flatten": cte + oracle.EVENTS_FLATTEN,
         "rejects": cte + oracle.REJECTS,

@@ -80,6 +80,21 @@ def cmd_analyze(args) -> None:
     from .pipelines.analyze import shard_skew, shard_workloads, skew_recommendation
     from .pipelines.core import collection_patterns
 
+    if getattr(args, "csv_out", None):
+        # --sheet graft: the reference exports the analyze report to a
+        # workbook (AnalyzeCommand's -x/--sheet); here one CSV per table
+        import os
+
+        os.makedirs(args.csv_out, exist_ok=True)
+        tables = {
+            "shard_workloads": shard_workloads(args.sf_dir).to_pandas(),
+            "collection_patterns": collection_patterns(args.sf_dir).to_pandas(),
+            "shard_skew": shard_skew(args.sf_dir).to_pandas(),
+        }
+        for name, df in tables.items():
+            df.to_csv(os.path.join(args.csv_out, f"{name}.csv"), index=False)
+        print(f"wrote {len(tables)} report tables to {args.csv_out}")
+
     print("== shard workloads ==")
     for r in shard_workloads(args.sf_dir).take_all():
         print(f"  {r['shard']:<10} ops={r['total_ops']:<8} "
@@ -129,6 +144,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("analyze")
     p.add_argument("--sf-dir", required=True)
+    p.add_argument("--csv-out", default=None,
+                   help="also export report tables as CSV files to this dir")
     p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("sample")

@@ -500,3 +500,41 @@ def hot_keys_thresholded(sf_dir: str, k: int = 20) -> Dataset:
         k,
         [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
     )
+
+
+def bucket_histogram_custom(
+    sf_dir: str, buckets: tuple[int, ...] = (256, 1024, 8192)
+) -> Dataset:
+    """A2 with user-supplied bucket bounds (the --thresholdBuckets option,
+    TailCommand.java:116-117): gt_* columns are derived at query time from
+    ``size`` in the partial stage, so any bucket list works without
+    re-parsing — strict '>' semantics preserved."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+
+    def add_buckets(t: pa.Table) -> pa.Table:
+        out = t.select(["ns", "op_class"])
+        for b in buckets:
+            out = out.append_column(
+                f"gt_{b}", pc.cast(pc.greater(t.column("size"), b), pa.int8())
+            )
+        return out
+
+    ev = ev.map_batches(add_buckets, batch_format="pyarrow")
+    g = grouped(
+        ev,
+        GroupSpec(
+            keys=("ns", "op_class"), sum_cols=tuple(f"gt_{b}" for b in buckets)
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        cols = {
+            "ns": t.column("ns"),
+            "op_class": t.column("op_class"),
+            "cnt": t.column("cnt"),
+        }
+        for b in buckets:
+            cols[f"cnt_gt_{b}"] = t.column(f"sum_gt_{b}")
+        return pa.table(cols)
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["ns", "op_class"])

@@ -100,3 +100,22 @@ def test_media_stage_stub_fails_fast():
 
     with pytest.raises(NotImplementedError, match="codec"):
         MediaFeatureStage(codec="libjpeg")
+
+
+def test_cli_analyze_csv_export(tmp_path, capsys):
+    import os
+
+    from oplog_analyzer_ray.__main__ import cmd_analyze
+
+    class A:
+        sf_dir = SF_DIR
+        csv_out = str(tmp_path / "report")
+
+    cmd_analyze(A())
+    out = capsys.readouterr().out
+    assert "3 report tables" in out
+    files = sorted(os.listdir(A.csv_out))
+    assert files == ["collection_patterns.csv", "shard_skew.csv",
+                     "shard_workloads.csv"]
+    head = open(os.path.join(A.csv_out, "shard_workloads.csv")).readline()
+    assert head.strip() == "shard,total_ops,total_bytes,avg_bytes_per_op,workload_group"

@@ -19,6 +19,7 @@ SF_DIR = "/root/testdata/sf0.001"
 _TRANSCRIPT_BODIES = {
     "sink_counts": oracle.SINK_COUNTS,
     "bucket_histogram": oracle.BUCKET_HISTOGRAM,
+    "bucket_histogram_custom": oracle.bucket_histogram_custom_sql(),
     "hot_keys_topk": oracle.HOT_KEYS_TOPK,
     "events_flatten": oracle.EVENTS_FLATTEN,
     "rejects": oracle.REJECTS,
