@@ -264,7 +264,12 @@ def global_scalars(sf_dir: str) -> pd.DataFrame:
 
 
 def diff_stats(sf_dir: str) -> Dataset:
-    """M5/A3: update-diff statistics over parent update/command rows."""
+    """M5/A3: update-diff statistics over parent update/command rows.
+
+    Averages follow the reference's positive-only semantics
+    (EntryAccumulator.java:56-63: ``documentsWithDiff``/``WithElements``
+    increment only when the count is > 0, so zero-diff docs are excluded
+    from the denominators; empty denominators → null, the 'N/A' analogue)."""
     ev = _mask_batches(
         event_dataset(sf_dir),
         lambda t: pc.and_(
@@ -272,17 +277,37 @@ def diff_stats(sf_dir: str) -> Dataset:
             pc.equal(t.column("event_seq"), 0),
         ),
     )
+
+    def precols(t: pa.Table) -> pa.Table:
+        has_d = pc.greater(pc.fill_null(t.column("diff_fields"), 0), 0)
+        has_e = pc.greater(pc.fill_null(t.column("total_elements"), 0), 0)
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "op_class": t.column("op_class"),
+                "diff_fields": t.column("diff_fields"),
+                "total_elements": t.column("total_elements"),
+                "has_diff": pc.cast(has_d, pa.int64()),
+                "has_elements": pc.cast(has_e, pa.int64()),
+            }
+        )
+
     g = grouped(
-        ev,
+        ev.map_batches(precols, batch_format="pyarrow"),
         GroupSpec(
             keys=("ns", "op_class"),
             count=False,
-            sum_cols=("diff_fields", "total_elements"),
-            count_valid=("diff_fields",),
+            sum_cols=("diff_fields", "total_elements", "has_diff", "has_elements"),
         ),
     )
 
     def post(t: pa.Table) -> pa.Table:
+        sum_d = pc.cast(t.column("sum_diff_fields"), pa.float64())
+        sum_e = pc.cast(t.column("sum_total_elements"), pa.float64())
+        n_d = pc.cast(t.column("sum_has_diff"), pa.float64())
+        n_e = pc.cast(t.column("sum_has_elements"), pa.float64())
+        null_f = pa.scalar(None, pa.float64())
+        trunc = lambda x: pc.divide(pc.floor(pc.multiply(x, 1e6)), 1e6)  # noqa: E731
         return pa.table(
             {
                 "ns": t.column("ns"),
@@ -291,7 +316,16 @@ def diff_stats(sf_dir: str) -> Dataset:
                 "sum_total_elements": pc.cast(
                     t.column("sum_total_elements"), pa.int64()
                 ),
-                "cnt_with_diff": t.column("cntv_diff_fields"),
+                "docs_with_diff": pc.cast(t.column("sum_has_diff"), pa.int64()),
+                "docs_with_elements": pc.cast(
+                    t.column("sum_has_elements"), pa.int64()
+                ),
+                "avg_diff_fields": pc.if_else(
+                    pc.greater(n_d, 0.0), trunc(pc.divide(sum_d, n_d)), null_f
+                ),
+                "avg_elements": pc.if_else(
+                    pc.greater(n_e, 0.0), trunc(pc.divide(sum_e, n_e)), null_f
+                ),
             }
         )
 
