@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_events": core.filtered_events,  # F2/F3/F4/F7
         "threshold_alerts": core.threshold_alerts,  # F5 side output
         "hot_keys_thresholded": core.hot_keys_thresholded,  # F6 pre-filter
+        "hot_keys_docsize": core.hot_keys_docsize,  # A5 doc-size w/ null-sentinel
         "sample_membership": sample.sample_membership,  # ST3 min-K distinct
         "sampled_events": sample.sampled_events,  # J5 broadcast semi-join
         "shard_workloads": analyze.shard_workloads,  # A10/A12
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_events": oracle.filters_sql(_ORACLE_SF_DIR),
         "threshold_alerts": cte + oracle.THRESHOLD_ALERTS,
         "hot_keys_thresholded": cte + oracle.HOT_KEYS_THRESHOLDED,
+        "hot_keys_docsize": cte + oracle.HOT_KEYS_DOCSIZE,
         "sample_membership": cte + oracle.SAMPLE_MEMBERSHIP,
         "sampled_events": cte + oracle.SAMPLED_EVENTS,
         "shard_workloads": cte + oracle.SHARD_WORKLOADS,

@@ -572,3 +572,56 @@ def bucket_histogram_custom(
         return pa.table(cols)
 
     return g.map_batches(post, batch_format="pyarrow").sort(["ns", "op_class"])
+
+
+def hot_keys_docsize(sf_dir: str, k: int = 20) -> Dataset:
+    """A5 full contract: hot-key stats over BOTH the oplog-size analogue and
+    the looked-up doc_size, with unknown doc sizes as nulls excluded from
+    count/avg (the reference's -1 sentinel exclusion,
+    TailCommand.java:176-181; IdStatisticsManager.java:38-90)."""
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    g = grouped(
+        ev,
+        GroupSpec(
+            keys=("ns", "conv_id"),
+            sum_cols=("size", "doc_size"),
+            min_cols=("doc_size",),
+            max_cols=("doc_size",),
+            count_valid=("doc_size",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        known = pc.cast(pc.fill_null(t.column("cntv_doc_size"), 0), pa.int64())
+        sum_doc = pc.cast(t.column("sum_doc_size"), pa.float64())
+        avg = pc.if_else(
+            pc.greater(known, 0),
+            pc.divide(
+                pc.floor(
+                    pc.multiply(
+                        pc.divide(sum_doc, pc.cast(known, pa.float64())), 1e6
+                    )
+                ),
+                1e6,
+            ),
+            pa.scalar(None, pa.float64()),
+        )
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "conv_id": t.column("conv_id"),
+                "cnt": t.column("cnt"),
+                "total_oplog_size": t.column("sum_size"),
+                "total_doc_size": pc.cast(t.column("sum_doc_size"), pa.int64()),
+                "min_doc_size": t.column("min_doc_size"),
+                "max_doc_size": t.column("max_doc_size"),
+                "doc_size_known": known,
+                "avg_doc_size": avg,
+            }
+        )
+
+    return topk(
+        g.map_batches(post, batch_format="pyarrow"),
+        k,
+        [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
+    )

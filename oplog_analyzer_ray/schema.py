@@ -68,6 +68,18 @@ TOOL_CATEGORIES = {
 }
 TOOL_CATEGORY_FALLBACK = "unknown"
 
+# tool -> typical document size (the fetchDocSizes graft: the reference
+# fetches ACTUAL doc sizes from the live collection and records -1 when the
+# lookup misses, excluding those from averages — TailCommand.java:176-181,
+# 432-459).  Here the lookup table is the broadcast side; tools without an
+# entry (and 'none') yield NULL doc_size (the -1 sentinel becomes null).
+TOOL_DOC_SIZES = {
+    "search": 1400,
+    "code": 2200,
+    "browser": 3100,
+    "calc": 300,
+}
+
 # number of conv_id hash buckets in the namespace ("db" half).
 NUM_BUCKETS = 8
 

@@ -22,14 +22,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..schema import OP_SINKS, TOOL_CATEGORIES, TOOL_CATEGORY_FALLBACK
+from ..schema import (
+    OP_SINKS,
+    TOOL_CATEGORIES,
+    TOOL_CATEGORY_FALLBACK,
+    TOOL_DOC_SIZES,
+)
 
 
-def default_lookups() -> dict[str, dict[str, str]]:
+def default_lookups() -> dict[str, dict]:
     """The enrichment tables; tiny, but broadcast like any small join side."""
     return {
         "tool_categories": dict(TOOL_CATEGORIES),
         "op_sinks": dict(OP_SINKS),
+        "tool_doc_sizes": dict(TOOL_DOC_SIZES),
     }
 
 
@@ -93,7 +99,16 @@ class EnrichStage:
         lookups = ray.get(lookups_ref) if lookups_ref is not None else default_lookups()
         self._cat = _ArrowLookup(lookups["tool_categories"], TOOL_CATEGORY_FALLBACK)
         self._sink = _ArrowLookup(lookups["op_sinks"], "rejects")
+        sizes = lookups["tool_doc_sizes"]
+        self._size_keys = pa.array(list(sizes.keys()), pa.string())
+        # miss slot is NULL: the reference's -1 unknown-doc-size sentinel
+        # becomes an Arrow null (TailCommand.java:176-181)
+        self._size_vals = pa.array(list(sizes.values()) + [None], pa.int64())
+        self._size_miss = len(sizes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         batch = batch.append_column("category", self._cat.take(batch.column("tool")))
-        return batch.append_column("sink", self._sink.take(batch.column("op_class")))
+        batch = batch.append_column("sink", self._sink.take(batch.column("op_class")))
+        idx = pc.index_in(batch.column("tool"), value_set=self._size_keys)
+        doc_size = pc.take(self._size_vals, pc.fill_null(idx, self._size_miss))
+        return batch.append_column("doc_size", doc_size)

@@ -32,6 +32,7 @@ _TRANSCRIPT_BODIES = {
     "routed_text": oracle.ROUTED_TEXT,
     "threshold_alerts": oracle.THRESHOLD_ALERTS,
     "hot_keys_thresholded": oracle.HOT_KEYS_THRESHOLDED,
+    "hot_keys_docsize": oracle.HOT_KEYS_DOCSIZE,
     "sample_membership": oracle.SAMPLE_MEMBERSHIP,
     "sampled_events": oracle.SAMPLED_EVENTS,
     "shard_workloads": oracle.SHARD_WORKLOADS,
