@@ -8,10 +8,13 @@ transcripts: ``(conv_id, turn_idx, role, text, tool, ts)``.
 Layout:
   schema     — input/derived schemas, lookup tables, classify constants
   synth      — deterministic transcript corpus generator (test/bench input)
-  sources    — parquet readers with pruning/pushdown (SURVEY §2.1)
-  stages     — parse/classify/flatten, enrichment actors, routing (§2.2-2.5)
-  pipelines  — flagship pipeline + aggregate queries (§2.6, §3.4)
-  functions  — id canonicalization, text analysis, dedup, similarity (§2.9+)
+  sources    — parquet reader API (column-pruned reads; SURVEY §2.1)
+  stages     — parse/classify/flatten, enrichment (actors + task variant),
+               multimodal payload stage (§2.2-2.5)
+  pipelines  — core queries, agg engine (grouped/topk), routing + manifest,
+               sampling, analyze reports, dedup, similarity, text analysis,
+               windowed events, declarative builder (§2.6-2.11, §3.4)
+  functions  — report formatting utilities (M7/M8)
   state      — checkpoint manifest + resume (§2.10, north_rule)
 """
 
