@@ -119,9 +119,38 @@ def cmd_sample(args) -> None:
     from .pipelines.sample import sample_membership, sampled_events
 
     member = sample_membership(args.sf_dir, args.k)
-    n = sampled_events(args.sf_dir, args.k).count()
-    print(f"membership: {member.num_rows} (ns, conv) pairs; "
-          f"followed events: {n}")
+    followed = sampled_events(args.sf_dir, args.k)
+    if getattr(args, "out", None):
+        # the reference's sample phase writes per-shard dumps + a JSON stats
+        # report (SampleCommand.java:359-400, 412-425); here: partitioned
+        # parquet of the followed events + a membership/stats JSON
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(args.out, exist_ok=True)
+        followed.write_parquet(
+            os.path.join(args.out, "events"), partition_cols=["ns"]
+        )
+        pq.write_table(member, os.path.join(args.out, "membership.parquet"))
+        counts = {}
+        for row in member.to_pylist():
+            counts[row["ns"]] = counts.get(row["ns"], 0) + 1
+        stats = {
+            "k": args.k,
+            "membership_pairs": member.num_rows,
+            "ids_per_ns": counts,
+            "followed_events": followed.count(),
+        }
+        with open(os.path.join(args.out, "sample_stats.json"), "w") as f:
+            json.dump(stats, f, indent=1)
+        print(f"wrote sample ({stats['followed_events']} events, "
+              f"{member.num_rows} ids) to {args.out}")
+    else:
+        n = followed.count()
+        print(f"membership: {member.num_rows} (ns, conv) pairs; "
+              f"followed events: {n}")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -151,6 +180,9 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sample")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--k", type=int, default=5)
+    p.add_argument("--out", default=None,
+                   help="write followed events (parquet, partitioned by ns) "
+                        "+ membership + stats JSON to this dir")
     p.set_defaults(fn=cmd_sample)
 
     args = ap.parse_args(argv)

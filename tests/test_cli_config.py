@@ -119,3 +119,23 @@ def test_cli_analyze_csv_export(tmp_path, capsys):
                      "shard_workloads.csv"]
     head = open(os.path.join(A.csv_out, "shard_workloads.csv")).readline()
     assert head.strip() == "shard,total_ops,total_bytes,avg_bytes_per_op,workload_group"
+
+
+def test_cli_sample_export(tmp_path, capsys):
+    import json
+    import os
+
+    from oplog_analyzer_ray.__main__ import cmd_sample
+
+    class S:
+        sf_dir = SF_DIR
+        k = 3
+        out = str(tmp_path / "sample")
+
+    cmd_sample(S())
+    assert "wrote sample" in capsys.readouterr().out
+    stats = json.load(open(os.path.join(S.out, "sample_stats.json")))
+    assert stats["k"] == 3 and stats["followed_events"] > 0
+    assert os.path.exists(os.path.join(S.out, "membership.parquet"))
+    # partitioned by ns
+    assert any(d.startswith("ns=") for d in os.listdir(os.path.join(S.out, "events")))
