@@ -19,16 +19,22 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_frames_match(ray_res, oracle_df: pd.DataFrame, name: str = "") -> None:
+    """Mirror the driver's value-hash check: the driver's hash is dtype-
+    sensitive for numeric columns (round-1 lesson: int64 vs HUGEINT->float64
+    flipped 14 hashes on bit-identical values), so numeric columns must match
+    dtype EXACTLY and floats must be bit-equal, not approximately equal."""
     a, b = canon(to_df(ray_res)), canon(oracle_df)
     assert len(a) == len(b), f"{name}: rows {len(a)} != {len(b)}"
     assert list(a.columns) == list(b.columns), f"{name}: cols {list(a.columns)} != {list(b.columns)}"
     for c in a.columns:
-        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+        av, bv = a[c], b[c]
+        if av.dtype.kind in "if" or bv.dtype.kind in "if":
+            assert av.dtype == bv.dtype, (
+                f"{name}.{c}: dtype {av.dtype} != oracle {bv.dtype} "
+                "(driver hash is dtype-sensitive)")
             pd.testing.assert_series_equal(
-                a[c].astype(float), b[c].astype(float), check_names=False,
-                rtol=1e-12, atol=1e-12, obj=f"{name}.{c}")
+                av, bv, check_names=False, rtol=0, atol=0, obj=f"{name}.{c}")
         else:
-            av, bv = a[c], b[c]
             if av.dtype != bv.dtype:
                 av, bv = av.astype(object), bv.astype(object)
             pd.testing.assert_series_equal(
