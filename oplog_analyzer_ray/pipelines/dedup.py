@@ -13,12 +13,15 @@ SampleCommand.java:275-290):
 
 Scale notes: signatures/banding are embarrassingly-parallel ``map_batches``;
 the candidate self-join co-locates rows by hash of the band key (bucketed
-exchange, same pattern as pipelines/agg.py) and joins within buckets with a
-vectorized pandas merge, so the shuffle carries only (band_key, doc_id) pairs
-— never document text.  The Jaccard verify joins shingle sets back by doc_id;
-at this corpus size the shingle table is broadcast via ``ray.put`` (the
-small-side-join rule); the 100 TB path replaces that with a two-sided
-hash-partitioned join on doc_id.
+exchange, same pattern as pipelines/agg.py), so the shuffle carries only
+(band_key, doc_id) pairs — never document text.  Hot bands (dup-heavy
+corpora put millions of docs under one band key) are sub-chunked: the
+grouped stage emits bounded (ids_a × ids_b) work items instead of
+materializing a quadratic pair table in one task, and a separate expand
+stage turns each work item into pairs, so no task ever holds more than
+``BAND_CHUNK**2`` candidate rows.  The Jaccard verify is a doc_id-bucketed
+two-hop distributed join (pairs ⨝ shingles on doc_a, then on doc_b) — the
+candidate/pair tables never land on the driver.
 
 Shingle/hash conventions (mirrored EXACTLY in oracle.py SQL):
 - tokens = text split on single space;
@@ -36,6 +39,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -134,12 +138,138 @@ def _band_rows(sig_df: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True)
 
 
-def lsh_candidate_pairs(sf_dir: str) -> pa.Table:
+# one side of a band-group chunk; caps any single task's pair output at
+# BAND_CHUNK**2 rows even when one band key holds millions of docs
+BAND_CHUNK = 256
+
+_ITEM_SCHEMA = pa.schema(
+    [("ids_a", pa.list_(pa.int64())), ("ids_b", pa.list_(pa.int64()))]
+)
+
+
+def _band_work_items(df: pd.DataFrame) -> pa.Table:
+    """Turn one band-key bucket into bounded pair work items.
+
+    A group (band_idx, band_key) of size s becomes:
+      - s ≤ BAND_CHUNK: one item (ids_a=members, ids_b=null) — "all pairs
+        within ids_a";
+      - s > BAND_CHUNK (hot band): members split into BAND_CHUNK-sized
+        chunks; one within-item per chunk plus one cross-item per chunk
+        pair (ids_a, ids_b).  The quadratic pair count is unavoidable (it
+        is the operator's defined output) but no single item/task ever
+        materializes more than BAND_CHUNK**2 of it.
+
+    The common case (unique band key, s == 1) emits an item with a single
+    id that expands to zero pairs; the small-group path is a zero-loop
+    ``ListArray.from_arrays`` over group offsets.
+    """
+    df = df.sort_values(["band_idx", "band_key", "doc_id"], kind="mergesort")
+    ids = df["doc_id"].to_numpy()
+    change = (
+        df["band_idx"].ne(df["band_idx"].shift())
+        | df["band_key"].ne(df["band_key"].shift())
+    ).to_numpy()
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(df))
+    sizes = ends - starts
+
+    small = sizes <= BAND_CHUNK
+    # small groups: list column straight from (offsets, values) — no loop
+    sm_starts, sm_ends = starts[small], ends[small]
+    tables = []
+    if sm_starts.size:
+        take = np.concatenate(
+            [np.arange(s, e) for s, e in zip(sm_starts, sm_ends)]
+        ) if not small.all() else None
+        if take is None:  # contiguous fast path: groups already adjacent
+            values = ids
+            offsets = np.append(sm_starts, len(ids))
+        else:
+            values = ids[take]
+            offsets = np.append(0, np.cumsum(sm_ends - sm_starts))
+        ids_a = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.int64())
+        )
+        tables.append(
+            pa.table(
+                {"ids_a": ids_a, "ids_b": pa.nulls(len(ids_a), _ITEM_SCHEMA[1].type)},
+                schema=_ITEM_SCHEMA,
+            )
+        )
+    # hot bands: few by construction — explicit chunk loop
+    hot_a, hot_b = [], []
+    for s, e in zip(starts[~small], ends[~small]):
+        members = ids[s:e]
+        chunks = [
+            members[i : i + BAND_CHUNK] for i in range(0, len(members), BAND_CHUNK)
+        ]
+        for i, ci in enumerate(chunks):
+            hot_a.append(ci)
+            hot_b.append(None)
+            for cj in chunks[i + 1 :]:
+                hot_a.append(ci)
+                hot_b.append(cj)
+    if hot_a:
+        tables.append(
+            pa.table(
+                {
+                    "ids_a": pa.array([list(c) for c in hot_a], _ITEM_SCHEMA[0].type),
+                    "ids_b": pa.array(
+                        [None if c is None else list(c) for c in hot_b],
+                        _ITEM_SCHEMA[1].type,
+                    ),
+                },
+                schema=_ITEM_SCHEMA,
+            )
+        )
+    if not tables:
+        return _ITEM_SCHEMA.empty_table()
+    return pa.concat_tables(tables)
+
+
+def _expand_items(t: pa.Table) -> pa.Table:
+    """Work items → (doc_a, doc_b) candidate pair rows (vectorized per item).
+
+    Members arrive sorted, so within-items use the upper triangle and
+    cross-items (chunk i < chunk j of the same sorted member list) are a
+    plain product with doc_a < doc_b already guaranteed."""
+    out_a, out_b = [], []
+    ids_b_col = t.column("ids_b")
+    for i, a_val in enumerate(t.column("ids_a")):
+        a = np.asarray(a_val.as_py(), dtype=np.int64)
+        b_val = ids_b_col[i]
+        if not b_val.is_valid:
+            if len(a) < 2:
+                continue
+            ii, jj = np.triu_indices(len(a), k=1)
+            out_a.append(a[ii])
+            out_b.append(a[jj])
+        else:
+            b = np.asarray(b_val.as_py(), dtype=np.int64)
+            out_a.append(np.repeat(a, len(b)))
+            out_b.append(np.tile(b, len(a)))
+    if not out_a:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a)),
+            "doc_b": pa.array(np.concatenate(out_b)),
+        }
+    )
+
+
+def lsh_candidate_pairs(sf_dir: str) -> Dataset:
     """Near-dup candidates: unordered doc pairs sharing ≥1 LSH band.
 
-    The self-join runs inside hash buckets of band_key (co-location by
-    content, not by doc): a bucketed exchange over (band_idx, band_key,
-    doc_id) rows followed by a vectorized pandas self-merge per bucket."""
+    Distributed end to end: band rows are co-located by hash of the band
+    key (bucketed exchange — co-location by content, not by doc), each
+    bucket emits bounded work items (hot bands sub-chunked, see
+    ``_band_work_items``), a small-batch expand stage turns items into
+    pairs, and the per-pair shared-band count is the standard grouped()
+    partial-merge.  The pair table stays a Dataset — nothing is collected
+    on the driver."""
     sigs = minhash_signatures(sf_dir)
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
 
@@ -149,64 +279,160 @@ def lsh_candidate_pairs(sf_dir: str) -> pa.Table:
         df["_bucket"] = (h % MERGE_BUCKETS).astype("int64")
         return df
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on=["band_idx", "band_key"])
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame(
+    items = (
+        bands.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(_band_work_items, batch_format="pandas")
+    )
+    # small batches: one expanded batch holds ≤ batch_size × BAND_CHUNK**2
+    # pair rows even on a corpus of identical documents
+    pairs = items.map_batches(
+        _expand_items, batch_format="pyarrow", batch_size=32
+    )
+    g = grouped(pairs, GroupSpec(keys=("doc_a", "doc_b")))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "doc_a": m["doc_id_x"],
-                "doc_b": m["doc_id_y"],
-                "band_idx": m["band_idx"],
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "n_shared_bands": t.column("cnt"),
             }
         )
 
-    pairs = (
-        bands.map_batches(add_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
-    g = grouped(pairs, GroupSpec(keys=("doc_a", "doc_b")))
-    rows = g.to_pandas()
-    out = (
-        rows.rename(columns={"cnt": "n_shared_bands"})
-        .sort_values(["doc_a", "doc_b"])
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(
-        out[["doc_a", "doc_b", "n_shared_bands"]],
-        schema=pa.schema(
-            [
-                ("doc_a", pa.int64()),
-                ("doc_b", pa.int64()),
-                ("n_shared_bands", pa.int64()),
-            ]
-        ),
-        preserve_index=False,
+    return g.map_batches(post, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+
+
+_JOIN_SCHEMA = pa.schema(
+    [
+        ("join_id", pa.int64()),
+        ("peer", pa.int64()),
+        ("sh_peer", pa.list_(pa.string())),
+        ("sh", pa.list_(pa.string())),
+    ]
+)
+
+
+def _shingle_side(sf_dir: str) -> Dataset:
+    """(join_id=doc_id, peer=-1, sh=distinct shingles) rows — the build side
+    of both join hops."""
+
+    def fn(df: pd.DataFrame) -> pa.Table:
+        sh = [sorted(set(_shingles(t))) for t in df["text"]]
+        n = len(df)
+        return pa.table(
+            {
+                "join_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "peer": pa.array(np.full(n, -1, dtype=np.int64)),
+                "sh_peer": pa.nulls(n, _JOIN_SCHEMA[2].type),
+                "sh": pa.array(sh, _JOIN_SCHEMA[3].type),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
     )
 
 
-def near_dup_jaccard(sf_dir: str) -> pa.Table:
+def _add_join_bucket(t: pa.Table) -> pa.Table:
+    h = pd.util.hash_array(t.column("join_id").to_numpy(), categorize=False)
+    return t.append_column(
+        "_bucket", pa.array((h % MERGE_BUCKETS).astype(np.int64))
+    )
+
+
+def near_dup_jaccard(sf_dir: str) -> Dataset:
     """Exact word-3-gram Jaccard for the LSH candidates, thresholded.
 
-    Shingle sets are broadcast (small side) and the verify runs driver-side
-    over the candidate list — candidates are rare by construction.  At
-    100 TB the broadcast becomes a doc_id-partitioned join."""
-    cands = lsh_candidate_pairs(sf_dir).to_pandas()
-    docs = read_documents(sf_dir, ["doc_id", "text"]).to_pandas()
-    sh = {r.doc_id: set(_shingles(r.text)) for r in docs.itertuples()}
-    rows = []
-    for r in cands.itertuples():
-        a, b = sh[r.doc_a], sh[r.doc_b]
-        j = len(a & b) / len(a | b)
-        if j >= JACCARD_THRESHOLD:
-            rows.append((r.doc_a, r.doc_b, np.floor(j * 1e6) / 1e6))
-    out = pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
-    return pa.Table.from_pandas(
-        out,
-        schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
-        ),
-        preserve_index=False,
+    Fully distributed doc_id-bucketed two-hop join (the 100 TB path): hop 1
+    co-locates candidate pairs with shingle sets by hash(doc_a) and attaches
+    the left set; hop 2 re-buckets by hash(doc_b), attaches the right set and
+    computes the exact Jaccard.  Only (pair, shingle-set) rows move through
+    the exchanges — candidate pairs are rare by LSH construction, so the
+    carried set payloads stay proportional to the candidate count, and the
+    documents table itself is never materialized anywhere."""
+    cands = lsh_candidate_pairs(sf_dir)
+
+    def pairs_hop1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "join_id": t.column("doc_a"),
+                "peer": t.column("doc_b"),
+                "sh_peer": pa.nulls(n, _JOIN_SCHEMA[2].type),
+                "sh": pa.nulls(n, _JOIN_SCHEMA[3].type),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        """Within one join bucket: dict(doc_id → shingles) from build rows,
+        then emit probe rows re-keyed on the OTHER doc with the looked-up
+        set carried in sh_peer."""
+        build_mask = pc.equal(group.column("peer"), -1)
+        build = group.filter(build_mask)
+        probe = group.filter(pc.invert(build_mask))
+        lut = dict(
+            zip(build.column("join_id").to_pylist(), build.column("sh").to_pylist())
+        )
+        ids = probe.column("join_id").to_pylist()
+        n = probe.num_rows
+        return pa.table(
+            {
+                "join_id": probe.column("peer"),
+                "peer": probe.column("join_id"),
+                "sh_peer": pa.array([lut[i] for i in ids], _JOIN_SCHEMA[2].type),
+                "sh": pa.nulls(n, _JOIN_SCHEMA[3].type),
+            },
+            schema=_JOIN_SCHEMA,
+        )
+
+    sh_side = _shingle_side(sf_dir)
+    hop1 = (
+        sh_side.union(cands.map_batches(pairs_hop1, batch_format="pyarrow"))
+        .map_batches(_add_join_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: attach(g.drop_columns(["_bucket"])), batch_format="pyarrow"
+        )
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        build_mask = pc.equal(group.column("peer"), -1)
+        build = group.filter(build_mask)
+        probe = group.filter(pc.invert(build_mask))
+        lut = dict(
+            zip(build.column("join_id").to_pylist(), build.column("sh").to_pylist())
+        )
+        doc_a, doc_b, jac = [], [], []
+        for row_b, row_a, sh_a in zip(
+            probe.column("join_id").to_pylist(),
+            probe.column("peer").to_pylist(),
+            probe.column("sh_peer").to_pylist(),
+        ):
+            a, b = set(sh_a), set(lut[row_b])
+            j = len(a & b) / len(a | b)
+            if j >= JACCARD_THRESHOLD:
+                doc_a.append(row_a)
+                doc_b.append(row_b)
+                jac.append(np.floor(j * 1e6) / 1e6)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return (
+        sh_side.union(hop1)
+        .map_batches(_add_join_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: verify(g.drop_columns(["_bucket"])), batch_format="pyarrow"
+        )
+        .sort(["doc_a", "doc_b"])
     )
 
 

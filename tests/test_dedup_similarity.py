@@ -48,6 +48,61 @@ def test_simhash_deterministic_and_discriminative(tmp_path):
     assert _hamming(sims[1], sims[4]) >= 20
 
 
+def test_band_work_items_bounded_on_hot_band():
+    """A hot band (one key shared by many docs) must be sub-chunked: no
+    work item may exceed BAND_CHUNK ids per side, and the expanded pair set
+    must still be exactly all C(n,2) unordered pairs."""
+    from oplog_analyzer_ray.pipelines.dedup import (
+        BAND_CHUNK,
+        _band_work_items,
+        _expand_items,
+    )
+
+    n_hot = 600
+    df = pd.DataFrame(
+        {
+            "doc_id": list(range(n_hot)) + [1000, 1001, 2000],
+            "band_idx": [0] * n_hot + [1, 1, 2],
+            "band_key": ["HOT"] * n_hot + ["p", "p", "solo"],
+        }
+    )
+    items = _band_work_items(df.sample(frac=1, random_state=7))  # order-proof
+    for row in items.to_pylist():
+        assert len(row["ids_a"]) <= BAND_CHUNK
+        assert row["ids_b"] is None or len(row["ids_b"]) <= BAND_CHUNK
+    pairs = _expand_items(items).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    want = {
+        (a, b) for a in range(n_hot) for b in range(a + 1, n_hot)
+    } | {(1000, 1001)}
+    assert got == want
+    assert (pairs["doc_a"] < pairs["doc_b"]).all()
+
+
+def test_lsh_pairs_dup_heavy_corpus(tmp_path):
+    """1000 identical docs: every pair shares all 8 bands; the pipeline must
+    produce all C(1000,2) pairs without any task materializing the whole
+    quadratic pair table (structurally bounded by _band_work_items +
+    the small expand batch size)."""
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.dedup import LSH_BANDS, lsh_candidate_pairs
+
+    n = 1000
+    text = "all work and no play makes jack a dull boy " * 4
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)) + [9999], pa.int64()),
+            "text": pa.array([text] * n + ["one completely different document"]),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = lsh_candidate_pairs(str(tmp_path))
+    counts = out.to_pandas()
+    assert len(counts) == n * (n - 1) // 2
+    assert (counts["n_shared_bands"] == LSH_BANDS).all()
+
+
 def test_knn_lsh_recall_vs_bruteforce():
     brute = knn_bruteforce(SF_DIR).to_pandas()
     approx = knn_lsh(SF_DIR).to_pandas()
