@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
         "embedding_near_dups": similarity.embedding_near_dups,
+        # approximate scale path; recall vs exact pinned in tests (rows-only)
+        "embedding_near_dups_lsh": similarity.embedding_near_dups_lsh,
         "sessionization": ev.sessionization,
         "tumbling_window": ev.tumbling_window,
         "media_features": media_features,  # codec stubbed; plumbing real

@@ -50,14 +50,22 @@ def _corpus_rows(src_dir: str) -> int:
 def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     import ray
 
+    # default is ~43% of RAM; larger corpora (sf5/sf10) otherwise spill to
+    # the slow shared disk mid-pipeline and mask compute scaling.  Clamped
+    # to what the host actually has so the bench still runs on small boxes.
+    try:
+        import psutil
+
+        avail = psutil.virtual_memory().available
+    except Exception:
+        avail = None
+    store = int(50e9) if avail is None else min(int(50e9), int(avail * 0.6))
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
-        # default is ~43% of RAM; larger corpora (sf5/sf10) otherwise spill
-        # to the slow shared disk mid-pipeline and mask compute scaling
-        object_store_memory=int(50e9),
+        object_store_memory=store,
     )
     import ray.data
 

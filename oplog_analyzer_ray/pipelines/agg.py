@@ -104,9 +104,25 @@ def _combine_partials(batch: pa.Table, spec: GroupSpec) -> pa.Table:
     return out.rename_columns([renames.get(c, c) for c in out.column_names])
 
 
-# buckets for the final keyed exchange; at cluster scale this is the shuffle
-# width (one merge task per bucket)
+# floor for the final keyed exchange width; the effective width scales with
+# the cluster (dyn_buckets) — one merge task per bucket
 MERGE_BUCKETS = 64
+
+
+def dyn_buckets(floor: int = MERGE_BUCKETS) -> int:
+    """Shuffle width for bucketed exchanges: 2 merge tasks per cluster CPU
+    with ``floor`` as the single-node minimum, so the same pipeline that
+    runs 64-wide on one box runs 16k-wide on a 256-node cluster.  Resolved
+    ONCE at pipeline-build time on the driver (cluster_resources() is an
+    RPC) and closed over as a plain int."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(floor, 2 * int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return floor
 
 
 def _bucket_of(t: pa.Table, keys: tuple[str, ...], buckets: int) -> pa.Array:
@@ -134,7 +150,7 @@ def _final_names(spec: GroupSpec) -> dict[str, str]:
     return names
 
 
-def grouped(ds: Dataset, spec: GroupSpec, buckets: int = MERGE_BUCKETS) -> Dataset:
+def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset:
     """partial-per-block pre-aggregate → compaction combine → hash-bucketed
     exact merge → final stats columns.
 
@@ -145,6 +161,7 @@ def grouped(ds: Dataset, spec: GroupSpec, buckets: int = MERGE_BUCKETS) -> Datas
     450k distinct keys at sf1).  Buckets = shuffle width; each bucket's
     merge is exact because hashing co-locates every partial of a key.
     """
+    buckets = buckets or dyn_buckets()
     partial = ds.map_batches(
         _partial_batch,
         fn_kwargs={"spec": spec},

@@ -457,9 +457,26 @@ def routed_text(sf_dir: str) -> Dataset:
 FILTER_TS_BOUND = _dt.datetime(2025, 1, 1, 0, 5, 0)
 
 
+def filtered_transcript_scan(sf_dir: str) -> Dataset:
+    """S1/F7: the raw scan with the time-range predicate pushed into
+    ``read_parquet`` itself (ScanCommand.java:259-267's --startTs seek
+    contract).  Row groups whose ts statistics fall wholly below the bound
+    never leave storage — at 100 TB with a narrow window this is the
+    difference between scanning everything and scanning a sliver."""
+    import pyarrow.dataset as pads
+
+    path = ensure_transcripts(sf_dir)
+    return ray.data.read_parquet(
+        path, filter=(pads.field("ts") >= FILTER_TS_BOUND)
+    )
+
+
 def filtered_events(sf_dir: str) -> Dataset:
-    """F2/F3/F4/F7 combined: op allow-list ∧ ns allow-list ∧ size range ∧
-    time range, all as one vectorized mask."""
+    """F2/F3/F4/F7 combined: time range pushed down into the parquet scan
+    (``filtered_transcript_scan``), then op allow-list ∧ ns allow-list ∧
+    size range as one vectorized post-parse mask.  Parses only the
+    time-pruned slice instead of reusing the full-corpus parsed cache —
+    pushdown beats cache reuse whenever the window is selective."""
 
     def mask(t: pa.Table):
         size = t.column("size")
@@ -468,17 +485,13 @@ def filtered_events(sf_dir: str) -> Dataset:
                 pc.is_in(t.column("op_class"), value_set=pa.array(["i", "u"])),
                 pc.starts_with(t.column("ns"), "bucket3."),
             ),
-            pc.and_(
-                pc.and_(
-                    pc.greater_equal(size, 64), pc.less_equal(size, 2048)
-                ),
-                pc.greater_equal(
-                    t.column("ts"), pa.scalar(FILTER_TS_BOUND, pa.timestamp("us"))
-                ),
-            ),
+            pc.and_(pc.greater_equal(size, 64), pc.less_equal(size, 2048)),
         )
 
-    ev = _mask_batches(event_dataset(sf_dir), mask)
+    ds = filtered_transcript_scan(sf_dir).map_batches(
+        parse_classify, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ev = _mask_batches(ds, mask)
     return ev.map_batches(
         lambda t: t.select(
             ["conv_id", "turn_idx", "event_seq", "ns", "op_class", "size"]

@@ -45,14 +45,14 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from .agg import GroupSpec, grouped
+from .agg import GroupSpec, dyn_buckets, grouped
 from .text import read_documents
 
 MINHASH_K = 16
 LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.05
-MERGE_BUCKETS = 32
+MERGE_BUCKETS = 32  # floor; effective width = dyn_buckets(MERGE_BUCKETS)
 
 
 # ------------------------------------------------------------------ helpers
@@ -272,11 +272,12 @@ def lsh_candidate_pairs(sf_dir: str) -> Dataset:
     on the driver."""
     sigs = minhash_signatures(sf_dir)
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
+    buckets = dyn_buckets(MERGE_BUCKETS)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_array(df["band_key"].to_numpy(), categorize=False)
         df = df.copy()
-        df["_bucket"] = (h % MERGE_BUCKETS).astype("int64")
+        df["_bucket"] = (h % buckets).astype("int64")
         return df
 
     items = (
@@ -335,10 +336,10 @@ def _shingle_side(sf_dir: str) -> Dataset:
     )
 
 
-def _add_join_bucket(t: pa.Table) -> pa.Table:
+def _add_join_bucket(t: pa.Table, buckets: int) -> pa.Table:
     h = pd.util.hash_array(t.column("join_id").to_numpy(), categorize=False)
     return t.append_column(
-        "_bucket", pa.array((h % MERGE_BUCKETS).astype(np.int64))
+        "_bucket", pa.array((h % buckets).astype(np.int64))
     )
 
 
@@ -388,10 +389,13 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
             schema=_JOIN_SCHEMA,
         )
 
+    buckets = dyn_buckets(MERGE_BUCKETS)
     sh_side = _shingle_side(sf_dir)
     hop1 = (
         sh_side.union(cands.map_batches(pairs_hop1, batch_format="pyarrow"))
-        .map_batches(_add_join_bucket, batch_format="pyarrow")
+        .map_batches(
+            _add_join_bucket, fn_kwargs={"buckets": buckets}, batch_format="pyarrow"
+        )
         .groupby("_bucket")
         .map_groups(
             lambda g: attach(g.drop_columns(["_bucket"])), batch_format="pyarrow"
@@ -427,7 +431,9 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
 
     return (
         sh_side.union(hop1)
-        .map_batches(_add_join_bucket, batch_format="pyarrow")
+        .map_batches(
+            _add_join_bucket, fn_kwargs={"buckets": buckets}, batch_format="pyarrow"
+        )
         .groupby("_bucket")
         .map_groups(
             lambda g: verify(g.drop_columns(["_bucket"])), batch_format="pyarrow"

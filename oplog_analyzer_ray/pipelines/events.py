@@ -7,9 +7,13 @@ log engine actually needs:
 - ``sessionization``: gap-based sessions per user (custom operator — Ray
   Data has no native session window).  Implemented as a bucketed exchange
   on user hash + a vectorized within-bucket pandas pass (sort by (user, ts),
-  ``shift``/``cumsum`` for boundaries) — the partitioning assumption is that
-  one user's events fit one bucket task, which holds as long as no single
-  user exceeds a block (salt by time-range if one does).
+  ``shift``/``cumsum`` for boundaries).  The bucket count scales with the
+  input (parquet-footer row count / SESSION_ROWS_PER_BUCKET) and with the
+  cluster width, so a bucket task holds a bounded slice of the corpus at
+  any scale; results are bucket-count invariant (property-tested).  The
+  irreducible partitioning assumption is that ONE user's events fit one
+  task — inherent to gap-session semantics (salt by time-range if a single
+  user ever exceeds a worker's heap).
 - ``tumbling_window``: fixed 1-day windows per event_type via the
   partial-preaggregated grouped() pipeline (window key is just a derived
   column — no special operator needed).
@@ -31,7 +35,7 @@ from ray.data import Dataset
 from .agg import GroupSpec, grouped
 
 SESSION_GAP_S = 7200  # new session when idle > 2h
-BUCKETS = 32
+SESSION_ROWS_PER_BUCKET = 500_000  # per-task slice ceiling
 
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
@@ -40,14 +44,42 @@ def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     )
 
 
-def sessionization(sf_dir: str) -> Dataset:
+def _events_rows(sf_dir: str) -> int:
+    """Input size from the parquet footer — no data scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "events.parquet")
+    ).metadata.num_rows
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    return 8
+
+
+def session_buckets(sf_dir: str) -> int:
+    """Bucket count ∝ input size (bounded per-task memory) with a
+    cluster-width floor (enough tasks to keep every core busy)."""
+    by_rows = -(-_events_rows(sf_dir) // SESSION_ROWS_PER_BUCKET)
+    return max(2 * _cluster_cpus(), by_rows)
+
+
+def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     """Per-user gap sessions: (user_id, session_id, n_events, start_ts,
     end_ts, sum_value) with session_id dense from 0 per user."""
+    buckets = n_buckets or session_buckets(sf_dir)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-        df["_bucket"] = (h % BUCKETS).astype("int64")
+        df["_bucket"] = (h % buckets).astype("int64")
         return df
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:

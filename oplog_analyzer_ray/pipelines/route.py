@@ -156,7 +156,13 @@ def route(
             if e["max_ts"]:
                 import datetime as _dt
 
-                wm = _dt.datetime.fromisoformat(e["max_ts"]).timestamp()
+                # the event-time watermark is UTC; pin the tz before
+                # .timestamp() or the lag is off by the host's UTC offset
+                wm = (
+                    _dt.datetime.fromisoformat(e["max_ts"])
+                    .replace(tzinfo=_dt.timezone.utc)
+                    .timestamp()
+                )
                 e["lag_secs"] = round(max(0.0, commit_time - wm), 3)
             entries.append(e)
         manifest.commit(entries)

@@ -8,9 +8,11 @@ with the deterministic **min-K by (first-seen ts, conv_id)** — same
 cardinality semantics, reproducible under any execution order.
 
 Two phases:
-1. membership: grouped() min-ts per (ns, conv_id) → per-ns K smallest by
-   (first_ts, conv_id).  The membership table is small by construction
-   (ns_count × K rows).
+1. membership: grouped() min-ts per (ns, conv_id) → per-ns min-K entirely
+   inside the dataset (each block keeps its local K smallest per ns, so at
+   most blocks × ns × K rows survive the prune); only that pruned
+   micro-table — never the full distinct (ns, conv_id) grain — reaches the
+   driver for the final K-selection.
 2. follow: broadcast the membership set via ``ray.put`` and semi-join the
    event stream with a vectorized ``pc.is_in`` on the composite key — no
    shuffle of the event stream at all (J5's broadcast semi-join).
@@ -18,6 +20,7 @@ Two phases:
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -35,12 +38,25 @@ def _key(ns_col, conv_col):
 
 
 def sample_membership(sf_dir: str, k: int = SAMPLE_K) -> pa.Table:
-    """Per ns: the K distinct conv_ids with smallest (first_ts, conv_id)."""
+    """Per ns: the K distinct conv_ids with smallest (first_ts, conv_id).
+
+    The distinct grain stays distributed: grouped() emits one (ns, conv_id,
+    min_ts) row per key spread over its merge buckets, and a per-block
+    min-K prune (the same idea as agg.topk, but per ns) cuts that to at
+    most blocks × ns × K rows before anything is collected."""
+
+    def local_prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ns", "min_ts", "conv_id"], kind="mergesort")
+        return df.groupby("ns", sort=False).head(k)
+
     ev = _mask_batches(event_dataset(sf_dir), _ok)
     g = grouped(ev, GroupSpec(keys=("ns", "conv_id"), count=False, min_cols=("ts",)))
-    first = g.to_pandas().rename(columns={"min_ts": "first_ts"})
-    first = first.sort_values(["ns", "first_ts", "conv_id"], kind="mergesort")
-    member = first.groupby("ns", sort=True).head(k).reset_index(drop=True)
+    pruned = g.map_batches(local_prune, batch_format="pandas").to_pandas()
+    member = (
+        local_prune(pruned)
+        .rename(columns={"min_ts": "first_ts"})
+        .reset_index(drop=True)
+    )
     return pa.Table.from_pandas(
         member[["ns", "conv_id", "first_ts"]],
         schema=pa.schema(

@@ -183,55 +183,160 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> pa.Table:
 
 
 NEAR_DUP_COS = 0.4
+EMB_CHUNK = 65_536  # target vectors per triangle-join chunk side
 
 
-def embedding_near_dups(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.4.
-
-    Each block compares its rows against the ray.put-broadcast normalized
-    matrix (fetched once per worker from the object store), emitting only
-    above-threshold pairs — O(rows_in_block × n) per task, exact.  At corpus
-    scales where the matrix no longer broadcasts, the LSH bucket machinery
-    above becomes the candidate generator (bucketed self-join, approximate),
-    with this exact kernel applied within buckets.
-    """
+def _emb_rows(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    ).to_pandas()
-    allm = np.stack(t["embedding"].to_numpy()).astype(np.float64)
-    alln = allm / np.linalg.norm(allm, axis=1, keepdims=True)
-    all_ids = t["vec_id"].to_numpy()
-    ref = ray.put((all_ids, alln))
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).metadata.num_rows
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids, an = ray.get(ref)
+
+_PAIR_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
+)
+
+
+def _pair_frame(va, vb, cs) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vec_a": np.asarray(va, dtype=np.int64),
+            "vec_b": np.asarray(vb, dtype=np.int64),
+            "cos": np.floor(np.asarray(cs, dtype=np.float64) * 1e6) / 1e6,
+        }
+    )
+
+
+def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.4.
+
+    EXACT, as a distributed triangle join: vectors are hashed into B chunks
+    (vec_id % B) and each vector is replicated to the B pair-buckets its
+    chunk participates in; one task per unordered chunk pair {i, j} computes
+    the exact cosine block (chunk_i × chunk_j, or the upper triangle when
+    i == j).  Per-task memory is bounded at ~2·EMB_CHUNK vectors regardless
+    of corpus size — nothing broadcasts the full matrix and nothing lands on
+    the driver.  Cost is inherently O(n²) compute and B× replication (the
+    price of EXACT all-pairs); beyond ~10⁶ vectors use
+    ``embedding_near_dups_lsh``, which prunes candidates with the
+    multi-probe hyperplane buckets instead.
+    """
+    B = n_chunks or max(2, -(-_emb_rows(sf_dir) // EMB_CHUNK))
+
+    def emit(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy()
+        c = (vid % B).astype(np.int64)
+        others = np.arange(B, dtype=np.int64)
+        i = np.minimum(c[:, None], others[None, :])
+        j = np.maximum(c[:, None], others[None, :])
+        key = (i * B + j).ravel()
+        rep = t.select(["vec_id", "embedding"]).take(
+            pa.array(np.repeat(np.arange(t.num_rows), B))
+        )
+        return rep.append_column("_pair", pa.array(key))
+
+    def compute(df: pd.DataFrame) -> pd.DataFrame:
+        key = int(df["_pair"].iloc[0])
+        i, j = divmod(key, B)
+        vid = df["vec_id"].to_numpy()
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = mn @ an.T  # (block_rows, n)
-        vid = df["vec_id"].to_numpy()
-        bi, aj = np.nonzero(cos >= NEAR_DUP_COS)
-        keep = vid[bi] < ids[aj]  # unordered pairs once, no self
+        if i == j:
+            order = np.argsort(vid)
+            vid, mn = vid[order], mn[order]
+            cos = mn @ mn.T
+            ai, bj = np.nonzero(np.triu(cos >= NEAR_DUP_COS, k=1))
+            return _pair_frame(vid[ai], vid[bj], cos[ai, bj])
+        ma = (vid % B) == i
+        mb = ~ma
+        cos = mn[ma] @ mn[mb].T
+        ai, bj = np.nonzero(cos >= NEAR_DUP_COS)
+        a_ids, b_ids = vid[ma][ai], vid[mb][bj]
+        return _pair_frame(
+            np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), cos[ai, bj]
+        )
+
+    return (
+        read_embeddings(sf_dir)
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("_pair")
+        .map_groups(compute, batch_format="pandas")
+        .sort(["vec_a", "vec_b"])
+    )
+
+
+def embedding_near_dups_lsh(
+    sf_dir: str, emit_radius: int = 2, threshold: float = NEAR_DUP_COS
+) -> Dataset:
+    """Approximate near-dup pairs via multi-probe hyperplane buckets — the
+    candidate-pruning scale path for ``embedding_near_dups``.
+
+    Each vector is emitted to every bucket within ``emit_radius`` bit flips
+    of its own (1+6+15 = 22 copies at radius 2 over LSH_PLANES=6), the exact
+    cosine kernel runs within each bucket, and duplicate findings (a pair
+    can share several probe buckets) collapse through the grouped()
+    partial-merge.  A pair is caught iff its two buckets differ by at most
+    ``2·emit_radius`` planes, so recall depends on the threshold angle:
+    ~0.97 at cos 0.4 (pinned by tests/test_dedup_similarity.py against the
+    exact result); at high thresholds (0.9+) recall ≈ 1 and the pruning is
+    strongest.  No SQL oracle (approximate) — rows-only driver check."""
+    masks = [0]
+    if emit_radius >= 1:
+        masks += [1 << p for p in range(LSH_PLANES)]
+    if emit_radius >= 2:
+        masks += [
+            (1 << p) | (1 << q)
+            for p in range(LSH_PLANES)
+            for q in range(p + 1, LSH_PLANES)
+        ]
+    masks_arr = np.asarray(masks, dtype=np.int64)
+
+    def emit(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        b = _bucket_ids(m, _lsh_planes(m.shape[1]))
+        probe = np.bitwise_xor(b[:, None], masks_arr[None, :]).ravel()
+        rep = np.repeat(np.arange(len(df)), len(masks))
         return pd.DataFrame(
             {
-                "vec_a": vid[bi[keep]],
-                "vec_b": ids[aj[keep]],
-                "cos": np.floor(cos[bi[keep], aj[keep]] * 1e6) / 1e6,
+                "vec_id": df["vec_id"].to_numpy()[rep],
+                "embedding": df["embedding"].to_numpy()[rep],
+                "_bucket": probe,
             }
         )
 
-    out = (
+    def compute(df: pd.DataFrame) -> pd.DataFrame:
+        vid = df["vec_id"].to_numpy()
+        order = np.argsort(vid)
+        vid = vid[order]
+        m = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = mn @ mn.T
+        ai, bj = np.nonzero(np.triu(cos >= threshold, k=1))
+        keep = vid[ai] != vid[bj]  # a vector probes several buckets; no self
+        return _pair_frame(vid[ai][keep], vid[bj][keep], cos[ai, bj][keep])
+
+    from .agg import GroupSpec, grouped
+
+    pairs = (
         read_embeddings(sf_dir)
-        .map_batches(pairs, batch_format="pandas")
-        .to_pandas()
-        .sort_values(["vec_a", "vec_b"])
-        .reset_index(drop=True)
+        .map_batches(emit, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(compute, batch_format="pandas")
     )
-    return pa.Table.from_pandas(
-        out,
-        schema=pa.schema(
-            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
-        ),
-        preserve_index=False,
+    g = grouped(
+        pairs,
+        GroupSpec(keys=("vec_a", "vec_b"), count=False, min_cols=("cos",)),
     )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_a": t.column("vec_a"),
+                "vec_b": t.column("vec_b"),
+                "cos": t.column("min_cos"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["vec_a", "vec_b"])

@@ -8,7 +8,12 @@ import pyarrow as pa
 import ray.data
 
 from oplog_analyzer_ray.pipelines.dedup import simhash64
-from oplog_analyzer_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+from oplog_analyzer_ray.pipelines.similarity import (
+    embedding_near_dups,
+    embedding_near_dups_lsh,
+    knn_bruteforce,
+    knn_lsh,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -101,6 +106,31 @@ def test_lsh_pairs_dup_heavy_corpus(tmp_path):
     counts = out.to_pandas()
     assert len(counts) == n * (n - 1) // 2
     assert (counts["n_shared_bands"] == LSH_BANDS).all()
+
+
+def test_embedding_near_dups_chunk_invariant():
+    """The triangle join must produce identical pairs for any chunk count
+    (partitioning is an execution detail, not a semantic one)."""
+    a = embedding_near_dups(SF_DIR, n_chunks=2).to_pandas()
+    b = embedding_near_dups(SF_DIR, n_chunks=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_embedding_near_dups_lsh_recall():
+    """Multi-probe LSH candidates + exact kernel: radius-2 probing catches
+    pairs whose buckets differ by ≤4 of 6 planes — ~0.97 expected recall at
+    the marginal cos≈0.4 threshold pairs this corpus has.  Every reported
+    pair must carry the exact score (no approximation in the kernel)."""
+    exact = embedding_near_dups(SF_DIR).to_pandas()
+    approx = embedding_near_dups_lsh(SF_DIR).to_pandas()
+    want = set(zip(exact["vec_a"], exact["vec_b"]))
+    got = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert got <= want  # no false positives: same threshold, exact kernel
+    assert len(got & want) / len(want) >= 0.9
+    merged = approx.merge(exact, on=["vec_a", "vec_b"], suffixes=("_a", "_e"))
+    assert (merged["cos_a"] == merged["cos_e"]).all()
 
 
 def test_knn_lsh_recall_vs_bruteforce():

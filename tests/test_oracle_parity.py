@@ -57,7 +57,7 @@ _TABLE_SQL = {
 }
 
 # non-SQL-expressible / approximate → rows-only in the driver, no parity here
-NO_ORACLE = {"simhash64", "knn_lsh"}
+NO_ORACLE = {"simhash64", "knn_lsh", "embedding_near_dups_lsh"}
 
 
 @pytest.fixture(scope="session")
