@@ -41,7 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_stats": core.diff_stats,  # M5/A3
         "category_counts": core.category_counts,  # J2/ST1
         "per_shard_stats": core.per_shard_stats,  # A8
-        "update_freq": core.update_freq,  # A14
+        "update_freq": core.update_freq,  # A14 (per-ns level)
+        "update_freq_by_shard": analyze.update_freq_by_shard,  # A14 per-shard level
         "collection_patterns": core.collection_patterns,  # A11
         "routed_text": core.routed_text,  # north-rule text equality
         "filtered_events": core.filtered_events,  # F2/F3/F4/F7
@@ -52,7 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_events": sample.sampled_events,  # J5 broadcast semi-join
         "shard_workloads": analyze.shard_workloads,  # A10/A12
         "shard_skew": analyze.shard_skew,  # A13
-        "redacted_summaries": analyze.redacted_summaries,  # M6
+        "redacted_summaries": analyze.redacted_summaries,  # M6 summary projection
+        "redacted_docs": analyze.redacted_docs,  # M6 full redactor (token strip)
         # --- training-data operators (documents / embeddings / events) ---
         "token_counts": text.token_counts,
         "quality_scores": text.quality_scores,
@@ -62,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_jaccard": dedup.near_dup_jaccard,
-        "simhash64": dedup.simhash64,  # no SQL oracle (rows-only)
+        "simhash64": dedup.simhash64,
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
         "embedding_near_dups": similarity.embedding_near_dups,
@@ -91,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "category_counts": cte + oracle.CATEGORY_COUNTS,
         "per_shard_stats": cte + oracle.PER_SHARD_STATS,
         "update_freq": cte + oracle.UPDATE_FREQ,
+        "update_freq_by_shard": oracle.events_cte(_ORACLE_SF_DIR, with_part=True)
+        + oracle.UPDATE_FREQ_BY_SHARD,
         "collection_patterns": cte + oracle.COLLECTION_PATTERNS,
         "routed_text": cte + oracle.ROUTED_TEXT,
         "filtered_events": oracle.filters_sql(_ORACLE_SF_DIR),
@@ -102,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_workloads": cte + oracle.SHARD_WORKLOADS,
         "shard_skew": cte + oracle.SHARD_SKEW,
         "redacted_summaries": cte + oracle.REDACTED_SUMMARIES,
+        "redacted_docs": cte + oracle.REDACTED_DOCS,
         # training-data ops (documents/events/embeddings views); simhash64
         # and knn_lsh intentionally omitted (non-SQL-expressible /
         # approximate → driver's rows-only check)
@@ -111,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracle.DOC_FINGERPRINTS,
         "exact_dedup": oracle.EXACT_DEDUP,
         "minhash_signatures": oracle.MINHASH_SIGNATURES,
+        "simhash64": oracle.SIMHASH64,
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,

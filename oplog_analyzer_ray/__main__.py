@@ -113,17 +113,34 @@ def cmd_analyze(args) -> None:
     print(f"avg-size ratio {rec['avg_size_ratio']}; "
           f"{'REVIEW RECOMMENDED' if rec['recommend_review'] else 'balanced'}; "
           f"{rec['n_outliers']} outlier shard(s)")
+    from .pipelines.analyze import shard_key_recommendations, update_freq_by_shard
+
+    print("== per-shard update frequency ==")
+    for r in update_freq_by_shard(args.sf_dir).to_pylist():
+        flag = " OUTLIER" if r["outlier"] else ""
+        print(f"  {r['ns']:<24} {r['shard']:<10} ops={r['total_updates']:<7} "
+              f"ids={r['unique_ids']:<6} ops_dev={r['ops_dev_pct']:+.1f}% "
+              f"size_dev={r['size_dev_pct']:+.1f}%{flag}")
+    recs = shard_key_recommendations(args.sf_dir)
+    print("== shard key recommendations ==")
+    if not recs:
+        print("  (none: no heavy-updates namespaces)")
+    for r in recs:
+        print(f"  {r['ns']}: {r['recommendation']}")
 
 
 def cmd_sample(args) -> None:
     from .pipelines.sample import sample_membership, sampled_events
+    from .state.shardkeys import shard_key_catalog, shard_key_lookup
 
     member = sample_membership(args.sf_dir, args.k)
     followed = sampled_events(args.sf_dir, args.k)
     if getattr(args, "out", None):
         # the reference's sample phase writes per-shard dumps + a JSON stats
-        # report (SampleCommand.java:359-400, 412-425); here: partitioned
-        # parquet of the followed events + a membership/stats JSON
+        # report AND prepends the config.collections shard-key docs to the
+        # output (SampleCommand.java:359-400, 412-425, 452-475); here:
+        # partitioned parquet of the followed events, the membership table,
+        # the shard-key catalog, and a stats JSON leading with the keys
         import json
         import os
 
@@ -134,10 +151,14 @@ def cmd_sample(args) -> None:
             os.path.join(args.out, "events"), partition_cols=["ns"]
         )
         pq.write_table(member, os.path.join(args.out, "membership.parquet"))
+        pq.write_table(
+            shard_key_catalog(), os.path.join(args.out, "shard_keys.parquet")
+        )
         counts = {}
         for row in member.to_pylist():
             counts[row["ns"]] = counts.get(row["ns"], 0) + 1
         stats = {
+            "shard_keys": shard_key_lookup(),
             "k": args.k,
             "membership_pairs": member.num_rows,
             "ids_per_ns": counts,

@@ -61,6 +61,23 @@ def _session_token() -> str:
     return ray.get_runtime_context().get_job_id() if ray.is_initialized() else ""
 
 
+# materializing the parsed events pins ~corpus-size in the (spillable)
+# object store; right for a many-query sweep over a small corpus, wrong for
+# a 100 TB one.  Gate on the on-disk corpus size (env-overridable).
+EVENT_CACHE_MAX_BYTES = int(
+    __import__("os").environ.get("OPLOG_EVENT_CACHE_MAX_BYTES", int(8e9))
+)
+
+
+def _corpus_bytes(sf_dir: str) -> int:
+    import os
+
+    d = ensure_transcripts(sf_dir)
+    return sum(
+        e.stat().st_size for e in os.scandir(d) if e.name.endswith(".parquet")
+    )
+
+
 def event_dataset(
     sf_dir: str, with_text: bool = False, use_actors: bool = False
 ) -> Dataset:
@@ -68,7 +85,10 @@ def event_dataset(
     cached = _EVENT_CACHE.get(key)
     if cached is not None:
         return cached
-    ds = _event_dataset_uncached(sf_dir, with_text, use_actors).materialize()
+    ds = _event_dataset_uncached(sf_dir, with_text, use_actors)
+    if _corpus_bytes(sf_dir) > EVENT_CACHE_MAX_BYTES:
+        return ds  # too big to pin: stream it, let each query re-scan
+    ds = ds.materialize()
     if len(_EVENT_CACHE) > 4:  # keep at most a few corpora pinned
         _EVENT_CACHE.clear()
     _EVENT_CACHE[key] = ds

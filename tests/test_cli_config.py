@@ -69,6 +69,10 @@ def test_cli_report_and_analyze(capsys):
     cmd_analyze(A())
     out = capsys.readouterr().out
     assert "shard workloads" in out and "skew" in out
+    # S4/J4: the analyze report consults the shard-key catalog and shows
+    # the per-shard update-frequency comparison (A14 second level)
+    assert "shard key recommendations" in out
+    assert "per-shard update frequency" in out
 
 
 def test_cli_route_and_sample(tmp_path, capsys):
@@ -91,6 +95,58 @@ def test_cli_route_and_sample(tmp_path, capsys):
     cmd_sample(S())
     out = capsys.readouterr().out
     assert "membership" in out
+
+
+def test_shard_key_catalog_and_sample_out(tmp_path, capsys):
+    """S4 full contract: the shard-key metadata table is prepended to the
+    sample output (SampleCommand.java:452-475) and the catalog covers every
+    sharded namespace (config.* excluded, like config.collections)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.__main__ import cmd_sample
+    from oplog_analyzer_ray.schema import NUM_BUCKETS, ROLE_CHANNELS
+    from oplog_analyzer_ray.state.shardkeys import shard_key_catalog
+
+    cat = shard_key_catalog()
+    assert cat.num_rows == NUM_BUCKETS * len(set(ROLE_CHANNELS.values()))
+    ns = cat.column("ns").to_pylist()
+    assert all(not n.startswith("config.") for n in ns)
+    assert cat.equals(shard_key_catalog())  # deterministic
+
+    class S:
+        sf_dir = SF_DIR
+        k = 2
+        out = str(tmp_path / "sample")
+
+    cmd_sample(S())
+    capsys.readouterr()
+    written = pq.read_table(os.path.join(S.out, "shard_keys.parquet"))
+    assert written.equals(cat)
+    stats = json.load(open(os.path.join(S.out, "sample_stats.json")))
+    assert next(iter(stats)) == "shard_keys"  # keys lead the stats report
+    assert stats["shard_keys"]["bucket0.ingest"]["is_hashed"] is True
+    assert stats["shard_keys"]["bucket1.ingest"]["is_hashed"] is False
+
+
+def test_shard_key_recommendations_consult_patterns():
+    """AnalyzeCommand.java:523-532: heavy-updates namespaces with a shard
+    key get the distribution warning; everything else stays silent."""
+    from oplog_analyzer_ray.pipelines.analyze import shard_key_recommendations
+    from oplog_analyzer_ray.pipelines.core import collection_patterns
+
+    recs = shard_key_recommendations(SF_DIR)
+    heavy = {
+        r.ns
+        for r in collection_patterns(SF_DIR).to_pandas().itertuples()
+        if r.pattern == "heavy-updates" and not r.ns.startswith("config.")
+    }
+    assert {r["ns"] for r in recs} == heavy
+    for r in recs:
+        assert "may not distribute large docs evenly" in r["recommendation"]
+        assert r["key_fields"] in ("[conv_id]", "[ts, conv_id]")
 
 
 def test_media_stage_stub_fails_fast():

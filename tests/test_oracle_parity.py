@@ -38,6 +38,7 @@ _TRANSCRIPT_BODIES = {
     "shard_workloads": oracle.SHARD_WORKLOADS,
     "shard_skew": oracle.SHARD_SKEW,
     "redacted_summaries": oracle.REDACTED_SUMMARIES,
+    "redacted_docs": oracle.REDACTED_DOCS,
 }
 
 _TABLE_SQL = {
@@ -47,6 +48,7 @@ _TABLE_SQL = {
     "doc_fingerprints": oracle.DOC_FINGERPRINTS,
     "exact_dedup": oracle.EXACT_DEDUP,
     "minhash_signatures": oracle.MINHASH_SIGNATURES,
+    "simhash64": oracle.SIMHASH64,
     "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
     "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
@@ -56,8 +58,8 @@ _TABLE_SQL = {
     "media_features": oracle.MEDIA_FEATURES,
 }
 
-# non-SQL-expressible / approximate → rows-only in the driver, no parity here
-NO_ORACLE = {"simhash64", "knn_lsh", "embedding_near_dups_lsh"}
+# approximate → rows-only in the driver, no parity here
+NO_ORACLE = {"knn_lsh", "embedding_near_dups_lsh"}
 
 
 @pytest.fixture(scope="session")
@@ -74,13 +76,23 @@ def _oracle_sql_for(name: str) -> str:
     if name == "filtered_events":
         ensure_transcripts(SF_DIR)
         return oracle.filters_sql(SF_DIR)
+    if name == "update_freq_by_shard":
+        ensure_transcripts(SF_DIR)
+        return (
+            oracle.events_cte(SF_DIR, with_part=True)
+            + oracle.UPDATE_FREQ_BY_SHARD
+        )
     if name in _TRANSCRIPT_BODIES:
         ensure_transcripts(SF_DIR)
         return oracle.events_cte(SF_DIR) + _TRANSCRIPT_BODIES[name]
     return _TABLE_SQL[name]
 
 
-_ALL = sorted(list(_TRANSCRIPT_BODIES) + ["filtered_events"] + list(_TABLE_SQL))
+_ALL = sorted(
+    list(_TRANSCRIPT_BODIES)
+    + ["filtered_events", "update_freq_by_shard"]
+    + list(_TABLE_SQL)
+)
 
 
 @pytest.mark.parametrize("name", _ALL)
