@@ -494,9 +494,13 @@ def filtered_transcript_scan(sf_dir: str) -> Dataset:
 def filtered_events(sf_dir: str) -> Dataset:
     """F2/F3/F4/F7 combined: time range pushed down into the parquet scan
     (``filtered_transcript_scan``), then op allow-list ∧ ns allow-list ∧
-    size range as one vectorized post-parse mask.  Parses only the
-    time-pruned slice instead of reusing the full-corpus parsed cache —
-    pushdown beats cache reuse whenever the window is selective."""
+    size range as one vectorized post-parse mask.
+
+    Source selection: if this session already pinned the parsed event cache
+    (a many-query sweep), filtering the cached events beats re-reading; on
+    a cold corpus the pushdown scan parses only the time-pruned slice —
+    the S1 seek contract, and at 100 TB with a narrow window the only
+    viable plan.  Both paths produce identical rows."""
 
     def mask(t: pa.Table):
         size = t.column("size")
@@ -508,9 +512,18 @@ def filtered_events(sf_dir: str) -> Dataset:
             pc.and_(pc.greater_equal(size, 64), pc.less_equal(size, 2048)),
         )
 
-    ds = filtered_transcript_scan(sf_dir).map_batches(
-        parse_classify, batch_format="pyarrow", zero_copy_batch=True
-    )
+    cached = _EVENT_CACHE.get((sf_dir, False, False, _session_token()))
+    if cached is not None:
+        ds = _mask_batches(
+            cached,
+            lambda t: pc.greater_equal(
+                t.column("ts"), pa.scalar(FILTER_TS_BOUND, pa.timestamp("us"))
+            ),
+        )
+    else:
+        ds = filtered_transcript_scan(sf_dir).map_batches(
+            parse_classify, batch_format="pyarrow", zero_copy_batch=True
+        )
     ev = _mask_batches(ds, mask)
     return ev.map_batches(
         lambda t: t.select(

@@ -27,9 +27,14 @@ Shingle/hash conventions (mirrored EXACTLY in oracle.py SQL):
 - tokens = text split on single space;
 - shingles = word 3-grams joined by spaces; docs with <3 tokens use the whole
   text as one shingle;
-- minhash_s = lexicographic min over shingles of md5("<seed>:" + shingle),
-  seeds 0..15;
-- band_b (b=0..7) = mh_{2b} || mh_{2b+1}.
+- base hash h = first 4 bytes of md5(shingle), big-endian (SQL:
+  ``('0x' || substr(md5(x),1,8))::UBIGINT``) — ONE digest per shingle;
+- minhash_i = min over shingles of (A_i·h + B_i) mod P with P = 2^61-1 and
+  fixed odd multipliers A_i < 2^31 (the classic universal-hash family):
+  all 16 seeded values derive from the single digest with exact int64
+  arithmetic in both engines, so the per-shingle digest count drops 16×
+  and the mins vectorize (numpy ``minimum.reduceat`` over doc offsets);
+- band_b (b=0..7) = "mh_{2b}:mh_{2b+1}" (decimal, ':'-joined).
 """
 
 from __future__ import annotations
@@ -54,6 +59,13 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.05
 MERGE_BUCKETS = 32  # floor; effective width = dyn_buckets(MERGE_BUCKETS)
 
+# universal-hash family constants (fixed, inlined into the oracle SQL):
+# odd multipliers < 2^31 so A·h + B stays < 2^63 for h < 2^32 — exact in
+# int64/BIGINT on both engines
+MINHASH_P = (1 << 61) - 1
+MINHASH_A = [((2654435761 * (i + 1)) % ((1 << 31) - 107)) | 1 for i in range(MINHASH_K)]
+MINHASH_B = [(40503 * (i + 13)) % ((1 << 31) - 107) for i in range(MINHASH_K)]
+
 
 # ------------------------------------------------------------------ helpers
 def _shingles(text: str) -> list[str]:
@@ -61,17 +73,6 @@ def _shingles(text: str) -> list[str]:
     if len(t) < 3:
         return [text]
     return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
-
-
-def _minhash_row(text: str) -> list[str]:
-    sh = _shingles(text)
-    sig = []
-    for seed in range(MINHASH_K):
-        prefix = f"{seed}:".encode()
-        sig.append(
-            min(hashlib.md5(prefix + s.encode()).hexdigest() for s in sh)
-        )
-    return sig
 
 
 # ------------------------------------------------------------------ exact
@@ -111,13 +112,40 @@ def exact_dedup(sf_dir: str) -> Dataset:
 
 # ------------------------------------------------------------------ minhash
 def minhash_signatures(sf_dir: str) -> Dataset:
-    """k=16 MinHash signature per document (hex-string minima)."""
+    """k=16 MinHash signature per document (int64 minima of the seeded
+    universal hashes).  ONE md5 per distinct shingle in the batch (repeated
+    boilerplate shingles hash once); the 16 seeded variants and per-doc
+    minima are pure numpy."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        sigs = df["text"].map(_minhash_row)
-        out = {"doc_id": df["doc_id"]}
+        # one md5 AND one seeded-hash evaluation per DISTINCT shingle; the
+        # per-position expansion is a single gather (repeated boilerplate
+        # shingles are the common case, so distinct << total)
+        offsets = [0]
+        inv: list[int] = []
+        index: dict[str, int] = {}
+        hd: list[int] = []
+        for t in df["text"]:
+            sh = _shingles(t)
+            for s in sh:
+                j = index.get(s)
+                if j is None:
+                    j = len(hd)
+                    index[s] = j
+                    hd.append(
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                    )
+                inv.append(j)
+            offsets.append(offsets[-1] + len(sh))
+        A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+        B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+        hd_arr = np.asarray(hd, dtype=np.int64)[None, :]
+        Vd = (A * hd_arr + B) % MINHASH_P  # (16, distinct), exact int64
+        V = Vd[:, np.asarray(inv, dtype=np.int64)]
+        mins = np.minimum.reduceat(V, offsets[:-1], axis=1)
+        out = {"doc_id": df["doc_id"].to_numpy()}
         for i in range(MINHASH_K):
-            out[f"mh_{i:02d}"] = sigs.map(lambda s, i=i: s[i])
+            out[f"mh_{i:02d}"] = mins[i]
         return pd.DataFrame(out)
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -129,7 +157,9 @@ def _band_rows(sig_df: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, band_idx, band_key) — LSH banding of a signature frame."""
     frames = []
     for b in range(LSH_BANDS):
-        key = sig_df[f"mh_{2 * b:02d}"] + sig_df[f"mh_{2 * b + 1:02d}"]
+        a = sig_df[f"mh_{2 * b:02d}"].to_numpy().astype(str)
+        c = sig_df[f"mh_{2 * b + 1:02d}"].to_numpy().astype(str)
+        key = np.char.add(np.char.add(a, ":"), c)
         frames.append(
             pd.DataFrame(
                 {"doc_id": sig_df["doc_id"], "band_idx": b, "band_key": key}

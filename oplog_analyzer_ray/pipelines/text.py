@@ -34,8 +34,17 @@ LANG_MARKERS = {
 
 
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    """Column-pruned documents scan.  Small corpora arrive as a single
+    parquet file, which Ray reads as ONE block — that serializes every
+    downstream kernel onto one core.  Ask for ~2 blocks per CPU so the
+    per-doc kernels (shingling, md5) parallelize regardless of the input
+    file layout; at real scale (many files) the hint is a no-op cap."""
+    from .agg import dyn_buckets
+
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=columns,
+        override_num_blocks=dyn_buckets(16),
     )
 
 
