@@ -53,12 +53,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     # default is ~43% of RAM; larger corpora (sf5/sf10) otherwise spill to
     # the slow shared disk mid-pipeline and mask compute scaling.  Clamped
     # to what the host actually has so the bench still runs on small boxes.
+    avail = None
     try:
-        import psutil
-
-        avail = psutil.virtual_memory().available
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+                    break
     except Exception:
-        avail = None
+        pass
     store = int(50e9) if avail is None else min(int(50e9), int(avail * 0.6))
     ray.init(
         address="local",
@@ -147,13 +150,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, cpus_small: int, cpus_big: int) -> dict:
+def run_scaling(sf_dir: str, cpus_small: int, cpus_big: int, reps: int = 3) -> dict:
     # this sandbox shows ~2x run-to-run noise (shared VM; page-cache/plasma
-    # churn between Ray sessions): interleave two runs per level with settle
-    # pauses and keep the min — standard best-of-N for noisy hosts
+    # churn between Ray sessions): interleave `reps` runs per level with
+    # settle pauses and keep the min — standard best-of-N for noisy hosts
     results: dict[int, dict] = {}
-    for cpus in (cpus_small, cpus_big, cpus_small, cpus_big):
-        time.sleep(15)  # let the previous session's cleanup churn settle
+    for cpus in (cpus_small, cpus_big) * reps:
+        time.sleep(20)  # let the previous session's cleanup churn settle
         out = subprocess.run(
             [sys.executable, __file__, "--sf-dir", sf_dir, "--cpus", str(cpus),
              "--headline-only"],

@@ -86,10 +86,13 @@ def cmd_analyze(args) -> None:
         import os
 
         os.makedirs(args.csv_out, exist_ok=True)
+        from .pipelines.analyze import update_freq_by_shard
+
         tables = {
             "shard_workloads": shard_workloads(args.sf_dir).to_pandas(),
             "collection_patterns": collection_patterns(args.sf_dir).to_pandas(),
             "shard_skew": shard_skew(args.sf_dir).to_pandas(),
+            "update_freq_by_shard": update_freq_by_shard(args.sf_dir).to_pandas(),
         }
         for name, df in tables.items():
             df.to_csv(os.path.join(args.csv_out, f"{name}.csv"), index=False)

@@ -290,16 +290,12 @@ def _expand_items(t: pa.Table) -> pa.Table:
     )
 
 
-def lsh_candidate_pairs(sf_dir: str) -> Dataset:
-    """Near-dup candidates: unordered doc pairs sharing ≥1 LSH band.
-
-    Distributed end to end: band rows are co-located by hash of the band
-    key (bucketed exchange — co-location by content, not by doc), each
-    bucket emits bounded work items (hot bands sub-chunked, see
-    ``_band_work_items``), a small-batch expand stage turns items into
-    pairs, and the per-pair shared-band count is the standard grouped()
-    partial-merge.  The pair table stays a Dataset — nothing is collected
-    on the driver."""
+def _candidate_pairs_ds(sf_dir: str) -> Dataset:
+    """Unsorted candidate-pair Dataset (doc_a, doc_b, n_shared_bands) —
+    the shared core of ``lsh_candidate_pairs`` (which adds the
+    deterministic report ordering) and ``near_dup_jaccard`` (which feeds
+    the pairs straight into the verify join; ordering there would be a
+    wasted all-to-all)."""
     sigs = minhash_signatures(sf_dir)
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
     buckets = dyn_buckets(MERGE_BUCKETS)
@@ -331,7 +327,20 @@ def lsh_candidate_pairs(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["doc_a", "doc_b"])
+    return g.map_batches(post, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(sf_dir: str) -> Dataset:
+    """Near-dup candidates: unordered doc pairs sharing ≥1 LSH band.
+
+    Distributed end to end: band rows are co-located by hash of the band
+    key (bucketed exchange — co-location by content, not by doc), each
+    bucket emits bounded work items (hot bands sub-chunked, see
+    ``_band_work_items``), a small-batch expand stage turns items into
+    pairs, and the per-pair shared-band count is the standard grouped()
+    partial-merge.  The pair table stays a Dataset — nothing is collected
+    on the driver."""
+    return _candidate_pairs_ds(sf_dir).sort(["doc_a", "doc_b"])
 
 
 _JOIN_SCHEMA = pa.schema(
@@ -383,7 +392,7 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
     the exchanges — candidate pairs are rare by LSH construction, so the
     carried set payloads stay proportional to the candidate count, and the
     documents table itself is never materialized anywhere."""
-    cands = lsh_candidate_pairs(sf_dir)
+    cands = _candidate_pairs_ds(sf_dir)
 
     def pairs_hop1(t: pa.Table) -> pa.Table:
         n = t.num_rows

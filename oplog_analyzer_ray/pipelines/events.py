@@ -39,8 +39,14 @@ SESSION_ROWS_PER_BUCKET = 500_000  # per-task slice ceiling
 
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    """Column-pruned events scan; ~2 blocks per CPU so a single-file corpus
+    doesn't serialize the pre-shuffle stages onto one core."""
+    from .agg import dyn_buckets
+
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=columns
+        os.path.join(sf_dir, "events.parquet"),
+        columns=columns,
+        override_num_blocks=dyn_buckets(16),
     )
 
 

@@ -32,7 +32,14 @@ LSH_PLANES = 6
 
 
 def read_embeddings(sf_dir: str) -> Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    """~2 blocks per CPU so single-file corpora don't serialize the matmul
+    kernels onto one core (no-op cap at real many-file scale)."""
+    from .agg import dyn_buckets
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        override_num_blocks=dyn_buckets(16),
+    )
 
 
 def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:

@@ -169,10 +169,10 @@ def test_cli_analyze_csv_export(tmp_path, capsys):
 
     cmd_analyze(A())
     out = capsys.readouterr().out
-    assert "3 report tables" in out
+    assert "4 report tables" in out
     files = sorted(os.listdir(A.csv_out))
     assert files == ["collection_patterns.csv", "shard_skew.csv",
-                     "shard_workloads.csv"]
+                     "shard_workloads.csv", "update_freq_by_shard.csv"]
     head = open(os.path.join(A.csv_out, "shard_workloads.csv")).readline()
     assert head.strip() == "shard,total_ops,total_bytes,avg_bytes_per_op,workload_group"
 

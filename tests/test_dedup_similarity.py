@@ -4,6 +4,7 @@ SimHash similarity behavior and LSH-ANN recall vs the brute-force baseline."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 import ray.data
 
@@ -131,6 +132,104 @@ def test_embedding_near_dups_lsh_recall():
     assert len(got & want) / len(want) >= 0.9
     merged = approx.merge(exact, on=["vec_a", "vec_b"], suffixes=("_a", "_e"))
     assert (merged["cos_a"] == merged["cos_e"]).all()
+
+
+def _reference_near_dups(docs: dict[int, str]):
+    """Independent single-process reimplementation of the whole
+    minhash→bands→candidates→jaccard chain (plain Python, no numpy
+    vectorization, no Ray) — catches batch/vectorization bugs in the
+    distributed path."""
+    import hashlib
+
+    from oplog_analyzer_ray.pipelines.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_K,
+        MINHASH_P,
+        _shingles,
+    )
+
+    sigs = {}
+    for d, text in docs.items():
+        sh = _shingles(text)
+        hs = [
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+            for s in sh
+        ]
+        sigs[d] = [
+            min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P for h in hs)
+            for i in range(MINHASH_K)
+        ]
+    cands = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = sum(
+                sigs[a][2 * k : 2 * k + 2] == sigs[b][2 * k : 2 * k + 2]
+                for k in range(LSH_BANDS)
+            )
+            if shared:
+                cands[(a, b)] = shared
+    jac = {}
+    for (a, b) in cands:
+        sa, sb = set(_shingles(docs[a])), set(_shingles(docs[b]))
+        j = len(sa & sb) / len(sa | sb)
+        if j >= JACCARD_THRESHOLD:
+            jac[(a, b)] = np.floor(j * 1e6) / 1e6
+    return sigs, cands, jac
+
+
+@pytest.mark.parametrize("seed", [0, 7, 42])
+def test_dedup_chain_matches_reference_impl(tmp_path, seed):
+    """Distributed minhash/LSH/jaccard == the plain-Python reference on a
+    random small corpus with planted near-dups."""
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dup_jaccard,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = {}
+    for d in range(24):
+        n = int(rng.integers(1, 30))
+        docs[d] = " ".join(rng.choice(vocab, size=n))
+    # plant near-dups: copies with a small tail perturbation
+    docs[100] = docs[0]
+    docs[101] = docs[0] + " extra"
+    ids = sorted(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([docs[i] for i in ids]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    want_sigs, want_cands, want_jac = _reference_near_dups(docs)
+
+    got_sigs = minhash_signatures(str(tmp_path)).to_pandas()
+    for r in got_sigs.itertuples():
+        assert [getattr(r, f"mh_{i:02d}") for i in range(16)] == want_sigs[r.doc_id]
+
+    got_cands = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in lsh_candidate_pairs(str(tmp_path)).to_pandas().itertuples()
+    }
+    assert got_cands == want_cands
+
+    got_jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_dup_jaccard(str(tmp_path)).to_pandas().itertuples()
+    }
+    assert got_jac == want_jac
+    assert (100, 101) in got_cands or (0, 100) in got_cands  # dups surfaced
 
 
 def test_knn_lsh_recall_vs_bruteforce():
