@@ -128,10 +128,26 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     total = timings["route_write"] + timings["aggregate"]
 
     if not headline_only:
-        for qname in ("sink_counts", "hot_keys_topk", "update_freq",
-                      "filtered_events"):
+        from oplog_analyzer_ray.pipelines import dedup, similarity
+        from oplog_analyzer_ray.pipelines import events as evmod
+
+        extra = {
+            "sink_counts": core.sink_counts,
+            "hot_keys_topk": core.hot_keys_topk,
+            "update_freq": core.update_freq,
+            "filtered_events": core.filtered_events,
+        }
+        # table-backed training-data ops: only where the sf dir ships the
+        # side tables (the transcript-only sf5/sf10 corpora don't)
+        if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            extra["near_dup_jaccard"] = dedup.near_dup_jaccard
+        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+            extra["knn_bruteforce"] = similarity.knn_bruteforce
+        if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+            extra["sessionization"] = evmod.sessionization
+        for qname, fn in extra.items():
             t0 = time.monotonic()
-            res = getattr(core, qname)(sf_dir)
+            res = fn(sf_dir)
             if hasattr(res, "materialize"):
                 res.materialize()
             timings[f"q_{qname}"] = time.monotonic() - t0
