@@ -18,6 +18,11 @@ Supported steps (args in ``{}``):
   {"op": "exclude_rejects"}            drop op_class 'x' rows
   {"op": "select", "columns": [...]}   projection
   {"op": "limit", "n": N}              F9
+  {"op": "group_stats", "keys": [..],  A1-A4 grouped stats through the
+   "sum": [..], "min": [..],           partial-preaggregated grouped()
+   "max": [..], "count": true}         engine (never Ray's per-key reduce)
+  {"op": "topk", "k": N,               A5/A6 distributed top-K
+   "sort": [["cnt", "descending"], ...]}
 
 ``build_pipeline(sf_dir, steps)`` starts from the transcript source; pass an
 existing Dataset via ``source=`` to compose onto anything else.
@@ -107,6 +112,26 @@ def build_pipeline(
             )
         elif op == "limit":
             ds = ds.limit(step["n"])
+        elif op == "group_stats":
+            from .agg import GroupSpec, grouped
+
+            ds = grouped(
+                ds,
+                GroupSpec(
+                    keys=tuple(step["keys"]),
+                    count=step.get("count", True),
+                    sum_cols=tuple(step.get("sum", ())),
+                    min_cols=tuple(step.get("min", ())),
+                    max_cols=tuple(step.get("max", ())),
+                    count_valid=tuple(step.get("count_valid", ())),
+                ),
+            )
+        elif op == "topk":
+            from .agg import topk
+
+            ds = topk(
+                ds, step["k"], [(c, d) for c, d in step["sort"]]
+            )
         else:
             raise ValueError(f"unknown pipeline step: {op!r}")
     return ds

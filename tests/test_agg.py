@@ -62,3 +62,55 @@ def test_null_values_excluded_like_sql():
     assert rows["a"]["sum_v"] == 5 and rows["a"]["cntv_v"] == 1
     assert rows["a"]["cnt"] == 2  # COUNT(*) still counts null rows
     assert rows["b"]["sum_v"] is None and rows["b"]["cntv_v"] == 0
+
+
+def test_copartitioned_hot_keys_matches_general_path(tmp_path):
+    """Under a genuinely id-sharded layout (every conv in exactly one
+    part), the zero-shuffle co-partitioned top-K equals the general
+    grouped()+topk path.  The layout is built here by hash-sharding a
+    synthetic event table — the precondition the operator documents."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.agg import copartitioned_hot_keys, topk
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    conv = np.array([f"conv{i:04d}" for i in rng.zipf(1.3, n) % 500])
+    ns = np.array(["bucket%d.reply" % (hash(c) % 3) for c in conv])
+    size = rng.integers(10, 5000, n)
+    df = pd.DataFrame({"ns": ns, "conv_id": conv, "size": size})
+    data = str(tmp_path / "sharded")
+    for p in range(4):  # id-sharded: conv -> exactly one part
+        sub = df[pd.util.hash_array(df["conv_id"].to_numpy()) % 4 == p]
+        d = os.path.join(data, f"part=shard-{p}")
+        os.makedirs(d)
+        pq.write_table(pa.Table.from_pandas(sub, preserve_index=False),
+                       os.path.join(d, "events.parquet"))
+
+    got = copartitioned_hot_keys(data, k=20).to_pandas()
+
+    routed = ray.data.read_parquet(data, columns=["ns", "conv_id", "size"])
+    g = grouped(routed, GroupSpec(keys=("ns", "conv_id"), sum_cols=("size",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "conv_id": t.column("conv_id"),
+                "cnt": t.column("cnt"),
+                "total_size": t.column("sum_size"),
+            }
+        )
+
+    want = topk(
+        g.map_batches(post, batch_format="pyarrow"),
+        20,
+        [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        got[["ns", "conv_id", "cnt", "total_size"]].reset_index(drop=True),
+        want[["ns", "conv_id", "cnt", "total_size"]].reset_index(drop=True),
+    )

@@ -1,6 +1,7 @@
 """CLI smoke tests, declarative pipeline builder, and format utils
 (SURVEY.md §2.11 extension surface, M7/M8)."""
 
+import pandas as pd
 import pyarrow.compute as pc
 
 from oplog_analyzer_ray.functions.format import (
@@ -46,6 +47,32 @@ def test_declarative_pipeline_matches_handwritten():
     got = built.sort_values(list(built.columns)).reset_index(drop=True)
     want = want.sort_values(list(want.columns)).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_declarative_group_and_topk_match_handwritten():
+    """The builder's group_stats/topk steps run through the same grouped()/
+    topk() engine as the built-in queries — results must be identical to
+    the handwritten hot_keys_topk pipeline."""
+    steps = [
+        {"op": "parse"},
+        {"op": "drop_text"},
+        {"op": "exclude_rejects"},
+        {"op": "group_stats", "keys": ["ns", "conv_id"],
+         "sum": ["size"], "min": ["size"], "max": ["size"]},
+        {"op": "topk", "k": 20,
+         "sort": [["cnt", "descending"], ["ns", "ascending"],
+                  ["conv_id", "ascending"]]},
+    ]
+    built = build_pipeline(SF_DIR, steps).to_pandas()
+    from oplog_analyzer_ray.pipelines.core import hot_keys_topk
+
+    want = hot_keys_topk(SF_DIR).to_pandas()
+    got = built.rename(
+        columns={"sum_size": "total_size"}
+    )[["ns", "conv_id", "cnt", "total_size", "min_size", "max_size"]]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
 
 
 def test_pipeline_rejects_unknown_step():
