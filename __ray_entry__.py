@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_docs": analyze.redacted_docs,  # M6 full redactor (token strip)
         # --- training-data operators (documents / embeddings / events) ---
         "token_counts": text.token_counts,
+        "token_counts_bpe": text.token_counts_bpe,
+        "rolling_fingerprints": text.rolling_fingerprints,
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
         "doc_fingerprints": text.doc_fingerprints,
@@ -111,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         # and knn_lsh intentionally omitted (non-SQL-expressible /
         # approximate → driver's rows-only check)
         "token_counts": oracle.TOKEN_COUNTS,
+        "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
+        "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
         "quality_scores": oracle.QUALITY_SCORES,
         "lang_id": oracle.LANG_ID,
         "doc_fingerprints": oracle.DOC_FINGERPRINTS,

@@ -149,3 +149,88 @@ def doc_fingerprints(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+# ------------------------------------------------------------ BPE-ish tokens
+# RE2-safe token classes shared verbatim with the DuckDB oracle: letter runs,
+# digit runs, single non-alnum-non-space marks, whitespace runs — the
+# GPT-2-style pre-tokenizer shape without the unicode category tables.
+BPE_PATTERNS = {
+    "word": r"[A-Za-z]+",
+    "number": r"[0-9]+",
+    "punct": r"[^A-Za-z0-9 ]",
+}
+BPE_ANY = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_counts_bpe(sf_dir: str) -> Dataset:
+    """BPE-ish regex token counting (the second half of the token-counting
+    contract; whitespace counting is ``token_counts``).  Pure vectorized
+    ``pc.count_substring_regex`` — RE2 on both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        out = {"doc_id": t.column("doc_id")}
+        out["n_bpe_tokens"] = pc.cast(
+            pc.count_substring_regex(txt, BPE_ANY), pa.int64()
+        )
+        for name, pat in BPE_PATTERNS.items():
+            out[f"n_{name}_tokens"] = pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64()
+            )
+        return pa.table(out)
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort(["doc_id"])
+
+
+# --------------------------------------------------------- rolling fingerprint
+# polynomial-weight sliding-window hash: H(i) = Σ_j code(i+j)·(B^j mod M).
+# With B=257, M=2^31-1, W=8 and codepoints < 2^21 every product stays under
+# 2^52, so the int64 arithmetic is exact in numpy AND DuckDB BIGINT — the
+# same literal weights appear in the oracle SQL.
+ROLL_WINDOW = 8
+ROLL_B = 257
+ROLL_M = (1 << 31) - 1
+ROLL_WEIGHTS = [pow(ROLL_B, j, ROLL_M) for j in range(ROLL_WINDOW)]
+
+
+def rolling_fingerprints(sf_dir: str) -> Dataset:
+    """Winnowing-style document fingerprint from the rolling window hash:
+    per doc the min / max window hash and the count of distinct windows.
+    The hash is rolling-updatable (geometric weights) but computed here as
+    one vectorized correlation per document (``np.correlate`` over the
+    UTF-32 codepoint array — no Python loop over characters).  Documents
+    shorter than the window hash their whole text as one window padded by
+    position (degenerate case mirrored in SQL)."""
+
+    w = np.asarray(ROLL_WEIGHTS, dtype=np.int64)
+
+    def one(text: str) -> tuple[int, int, int]:
+        codes = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        if len(codes) < ROLL_WINDOW:
+            h = int((codes * w[: len(codes)]).sum())
+            return h, h, 1
+        # correlate computes Σ_j codes[i+j]·w[j] — forward weights
+        hs = np.correlate(codes, w, mode="valid")
+        return int(hs.min()), int(hs.max()), int(np.unique(hs).size)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        res = df["text"].map(one)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "min_whash": res.map(lambda r: r[0]).astype("int64"),
+                "max_whash": res.map(lambda r: r[1]).astype("int64"),
+                "distinct_windows": res.map(lambda r: r[2]).astype("int64"),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).sort(["doc_id"])

@@ -43,6 +43,8 @@ _TRANSCRIPT_BODIES = {
 
 _TABLE_SQL = {
     "token_counts": oracle.TOKEN_COUNTS,
+    "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
+    "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
     "quality_scores": oracle.QUALITY_SCORES,
     "lang_id": oracle.LANG_ID,
     "doc_fingerprints": oracle.DOC_FINGERPRINTS,
