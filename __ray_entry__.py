@@ -69,11 +69,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": dedup.simhash64,
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
+        "knn_ivf": similarity.knn_ivf,  # approximate; no SQL oracle
         "embedding_near_dups": similarity.embedding_near_dups,
         # approximate scale path; recall vs exact pinned in tests (rows-only)
         "embedding_near_dups_lsh": similarity.embedding_near_dups_lsh,
         "sessionization": ev.sessionization,
         "tumbling_window": ev.tumbling_window,
+        "sliding_window": ev.sliding_window,
         "media_features": media_features,  # codec stubbed; plumbing real
     }
 
@@ -127,5 +129,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
         "sessionization": oracle.SESSIONIZATION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
+        "sliding_window": oracle.SLIDING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,
     }

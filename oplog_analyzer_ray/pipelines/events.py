@@ -154,3 +154,64 @@ def tumbling_window(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pyarrow").sort(["event_type", "day"])
+
+
+SLIDE_WINDOW_DAYS = 7
+SLIDE_STEP_DAYS = 1
+
+
+def sliding_window(sf_dir: str) -> Dataset:
+    """7-day windows sliding by 1 day per event_type: each event lands in
+    exactly WINDOW/STEP windows, materialized by a vectorized 7-way
+    replicate (concat of day-shifted copies) — no per-row loop, no custom
+    window operator needed; the aggregation is the standard grouped()
+    partial-merge over the derived (event_type, window_start) key.
+    Value sums run in integer cents (order-independent, bit-exact vs SQL).
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column("ts"), unit="day")
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        base = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "cents": cents,
+            }
+        )
+        parts = []
+        for k in range(SLIDE_WINDOW_DAYS // SLIDE_STEP_DAYS):
+            shift = pa.scalar(
+                k * SLIDE_STEP_DAYS * 86_400_000_000, pa.duration("us")
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": base.column("event_type"),
+                        "window_start": pc.subtract(base.column("day"), shift),
+                        "cents": base.column("cents"),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ev = read_events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    g = grouped(ev, GroupSpec(keys=("event_type", "window_start"), sum_cols=("cents",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start": t.column("window_start"),
+                "cnt": t.column("cnt"),
+                "sum_value": pc.divide(
+                    pc.cast(t.column("sum_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["event_type", "window_start"]
+    )

@@ -232,6 +232,25 @@ def test_dedup_chain_matches_reference_impl(tmp_path, seed):
     assert (100, 101) in got_cands or (0, 100) in got_cands  # dups surfaced
 
 
+def test_knn_ivf_recall_vs_bruteforce():
+    from oplog_analyzer_ray.pipelines.similarity import knn_ivf
+
+    brute = knn_bruteforce(SF_DIR).to_pandas()
+    approx = knn_ivf(SF_DIR).to_pandas()
+    recalls = []
+    for qid, bg in brute.groupby("query_id"):
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"].tolist())
+        want = set(bg["neighbor_id"].tolist())
+        recalls.append(len(got & want) / len(want))
+    # 4-of-16 learned clusters probed: expect a solid share of true
+    # neighbors; exact value is corpus-dependent, bound loosely
+    assert np.mean(recalls) >= 0.4, recalls
+    merged = approx.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_a", "_b")
+    )
+    assert (merged["cos_a"] == merged["cos_b"]).all()  # exact kernel
+
+
 def test_knn_lsh_recall_vs_bruteforce():
     brute = knn_bruteforce(SF_DIR).to_pandas()
     approx = knn_lsh(SF_DIR).to_pandas()

@@ -57,11 +57,12 @@ _TABLE_SQL = {
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
     "sessionization": oracle.SESSIONIZATION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
+    "sliding_window": oracle.SLIDING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
 }
 
 # approximate → rows-only in the driver, no parity here
-NO_ORACLE = {"knn_lsh", "embedding_near_dups_lsh"}
+NO_ORACLE = {"knn_lsh", "knn_ivf", "embedding_near_dups_lsh"}
 
 
 @pytest.fixture(scope="session")
