@@ -17,7 +17,7 @@ from typing import Any
 from oplog_analyzer_ray import oracle
 from oplog_analyzer_ray.pipelines import analyze, core, dedup, sample, similarity, text
 from oplog_analyzer_ray.pipelines import events as ev
-from oplog_analyzer_ray.stages.media import media_features
+from oplog_analyzer_ray.stages.media import media_features, media_frame_sample
 from oplog_analyzer_ray.synth import ensure_transcripts
 
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": ev.tumbling_window,
         "sliding_window": ev.sliding_window,
         "media_features": media_features,  # codec stubbed; plumbing real
+        "media_frame_sample": media_frame_sample,  # explode-per-frame plumbing
     }
 
 
@@ -131,4 +132,5 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,
+        "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
     }

@@ -61,6 +61,77 @@ class MediaFeatureStage:
         )
 
 
+FRAME_SAMPLE_EVERY = 4  # keep every 4th fake frame
+
+
+class MediaFrameSampleStage:
+    """Actor-pool frame sampler: explodes each payload into its sampled
+    frame rows (len(out) >= len(in) — the video-frame-sampling shape).  A
+    "frame" in the stub is a FAKE_FRAME_BYTES byte slice; the slicing,
+    per-frame fingerprinting, row explosion and small-batch actor plumbing
+    are exactly what a real decoder stage needs, with the codec itself
+    behind the same fail-fast stub boundary as MediaFeatureStage."""
+
+    def __init__(self, codec: str | None = None):
+        if codec is not None:
+            raise NotImplementedError(
+                f"media codec {codec!r} not available in this environment; "
+                "only the deterministic stub (codec=None) is supported"
+            )
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, foff, fbytes, ffp = [], [], [], [], []
+        ids = batch.column("media_id").to_pylist()
+        for mid, p in zip(ids, batch.column("payload").to_pylist()):
+            n_frames = len(p) // FAKE_FRAME_BYTES + 1
+            for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
+                off = i * FAKE_FRAME_BYTES
+                chunk = p[off : off + FAKE_FRAME_BYTES]
+                mids.append(mid)
+                fidx.append(i)
+                foff.append(off)
+                fbytes.append(len(chunk))
+                ffp.append(self._md5(chunk).hexdigest()[:8])
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "frame_off": pa.array(foff, pa.int64()),
+                "frame_bytes": pa.array(fbytes, pa.int64()),
+                "frame_fp8": pa.array(ffp, pa.string()),
+            }
+        )
+
+
+def media_frame_sample(sf_dir: str) -> Dataset:
+    """Frame-sampling pipeline: payload → every-4th-frame rows with per-
+    frame byte-slice fingerprints.  Oracle: unnest(range(...)) + BLOB
+    substring/md5 SQL over the same rows."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": t.column("text").cast(pa.binary()),
+            }
+        )
+
+    return (
+        docs.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            MediaFrameSampleStage,
+            batch_format="pyarrow",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+        )
+        .sort(["media_id", "frame_idx"])
+    )
+
+
 def media_features(sf_dir: str) -> Dataset:
     """documents.text re-encoded as a binary payload column → actor-pool
     feature extraction.  Oracle: octet_length/md5 SQL over the same rows."""

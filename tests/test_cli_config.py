@@ -179,10 +179,15 @@ def test_shard_key_recommendations_consult_patterns():
 def test_media_stage_stub_fails_fast():
     import pytest
 
-    from oplog_analyzer_ray.stages.media import MediaFeatureStage
+    from oplog_analyzer_ray.stages.media import (
+        MediaFeatureStage,
+        MediaFrameSampleStage,
+    )
 
     with pytest.raises(NotImplementedError, match="codec"):
         MediaFeatureStage(codec="libjpeg")
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaFrameSampleStage(codec="ffmpeg")
 
 
 def test_cli_analyze_csv_export(tmp_path, capsys):

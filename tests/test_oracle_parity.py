@@ -59,6 +59,7 @@ _TABLE_SQL = {
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "sliding_window": oracle.SLIDING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
+    "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
 }
 
 # approximate → rows-only in the driver, no parity here
