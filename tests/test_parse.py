@@ -90,3 +90,44 @@ def test_output_longer_than_input_and_sizes_conserved_per_turn():
     assert out.num_rows == 4  # 2 parents + 2 inners
     sizes = pc.sum(out.filter(pc.greater(out["event_seq"], 0))["size"]).as_py()
     assert sizes == 2 * (28 // 2)
+
+
+def test_jsonl_source_equals_parquet_source(tmp_path):
+    """The JSONL wire format normalizes to the same canonical schema: the
+    parse output over JSONL-roundtripped rows equals the Parquet path."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.sources import read_transcripts_jsonl
+    from oplog_analyzer_ray.synth import ensure_transcripts
+
+    src = ensure_transcripts("/root/testdata/sf0.001")
+    f = sorted(glob.glob(src + "/*.parquet"))[0]
+    t = pq.read_table(f)
+    rows = t.to_pylist()[:500]
+    p = tmp_path / "turns.jsonl"
+    with open(p, "w") as fh:
+        for r in rows:
+            r["ts"] = r["ts"].isoformat()
+            fh.write(json.dumps(r) + "\n")
+
+    via_jsonl = (
+        read_transcripts_jsonl(str(p))
+        .map_batches(parse_classify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    import ray.data
+
+    via_parquet = (
+        ray.data.from_arrow(t.slice(0, 500))
+        .map_batches(parse_classify, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = sorted(via_jsonl.columns)
+    a = via_jsonl[cols].sort_values(cols).reset_index(drop=True)
+    b = via_parquet[cols].sort_values(cols).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
