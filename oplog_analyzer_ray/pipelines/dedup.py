@@ -58,6 +58,7 @@ LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.05
 MERGE_BUCKETS = 32  # floor; effective width = dyn_buckets(MERGE_BUCKETS)
+SHINGLE_CACHE_MAX_BYTES = int(2e9)  # materialize shingle join side below this
 
 # universal-hash family constants (fixed, inlined into the oracle SQL):
 # odd multipliers < 2^31 so A·h + B stays < 2^63 for h < 2^32 — exact in
@@ -430,6 +431,15 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
 
     buckets = dyn_buckets(MERGE_BUCKETS)
     sh_side = _shingle_side(sf_dir)
+    # the shingle build side feeds BOTH join hops; on a small corpus,
+    # materializing it once (object store, spillable) beats re-reading and
+    # re-shingling the documents per hop.  Gated on the on-disk size — at
+    # corpus scale the recompute streams instead of pinning the store.
+    import os as _os
+
+    doc_bytes = _os.path.getsize(_os.path.join(sf_dir, "documents.parquet"))
+    if doc_bytes <= SHINGLE_CACHE_MAX_BYTES:
+        sh_side = sh_side.materialize()
     hop1 = (
         sh_side.union(cands.map_batches(pairs_hop1, batch_format="pyarrow"))
         .map_batches(
