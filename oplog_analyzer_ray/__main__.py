@@ -46,6 +46,11 @@ def cmd_route(args) -> None:
         args.out,
         units_per_commit=args.units_per_commit,
         shard_indexes=args.shard_indexes,
+        start_ts=(
+            parse_iso_ts(args.start_ts)
+            if getattr(args, "start_ts", None)
+            else None
+        ),
     )
     totals = manifest.sink_totals()
     print(f"routed {sum(totals.values())} events over "
@@ -188,6 +193,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--units-per-commit", type=int, default=None)
     p.add_argument("--shard-index", dest="shard_indexes", default=None,
                    type=lambda s: [int(x) for x in s.split(",")])
+    p.add_argument("--start-ts", default=None,
+                   help="ISO-8601 time-range seek pushed into the scan "
+                        "(the --startTs graft)")
     p.set_defaults(fn=cmd_route)
 
     p = sub.add_parser("report")

@@ -55,6 +55,17 @@ def _unit_metrics(data_dir: str, unit: str) -> dict:
     out_files: list[str] = []
     max_ts = None
     rows = 0
+    if not os.path.isdir(part_dir):
+        # a fully-filtered unit (e.g. --start-ts past the shard's last
+        # event) writes no partition dir: commit it as legitimately empty
+        # so the resume ledger still marks it finished
+        return {
+            "unit": unit,
+            "rows": 0,
+            "sink_counts": {},
+            "max_ts": None,
+            "output_files": [],
+        }
     for sink_ent in sorted(os.scandir(part_dir), key=lambda e: e.name):
         if not sink_ent.name.startswith("sink="):
             continue
@@ -89,11 +100,15 @@ def route(
     units_per_commit: int | None = None,
     max_commits: int | None = None,
     shard_indexes: list[int] | None = None,
+    start_ts=None,
 ) -> Manifest:
     """Parse → enrich → fan out to per-(part, sink) parquet; resumable.
 
     ``shard_indexes`` selects a subset of the sorted input shards by index
-    (F8, the ``--shardIndex`` graft, ScanCommand.java:166-196)."""
+    (F8, the ``--shardIndex`` graft, ScanCommand.java:166-196).
+    ``start_ts`` pushes the time-range seek into the parquet scan itself
+    (S1/M9, the ``--startTs`` graft, ScanCommand.java:101-134, 259-267):
+    row groups wholly before the bound never leave storage."""
     src_dir = ensure_transcripts(sf_dir)
     files = sorted(
         os.path.join(src_dir, f)
@@ -125,9 +140,12 @@ def route(
         # the partitioned write emits one file per (part, sink) instead of
         # one per (task, part-fragment, sink) — output file count bounds the
         # read-planning cost of every later pass over the routed data
-        ds = ray.data.read_parquet(
-            group, include_paths=True, override_num_blocks=len(group)
-        )
+        read_kwargs = {"include_paths": True, "override_num_blocks": len(group)}
+        if start_ts is not None:
+            import pyarrow.dataset as pads
+
+            read_kwargs["filter"] = pads.field("ts") >= start_ts
+        ds = ray.data.read_parquet(group, **read_kwargs)
         ds = ds.map_batches(_add_part, batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(
             parse_classify, batch_format="pyarrow", zero_copy_batch=True

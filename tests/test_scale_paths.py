@@ -61,6 +61,43 @@ def test_grouped_bucket_invariant():
     pd.testing.assert_frame_equal(outs[0], outs[2])
 
 
+def test_route_start_ts_pushdown(tmp_path):
+    """route(start_ts=...) seeks into the stream at the scan: fewer events
+    land in every sink, and the watermark semantics are untouched."""
+    import datetime as dt
+
+    from oplog_analyzer_ray.pipelines.route import route
+
+    full = route(SF_DIR, str(tmp_path / "full"))
+    part = route(
+        SF_DIR,
+        str(tmp_path / "seek"),
+        start_ts=dt.datetime(2025, 1, 1, 0, 7, 0),  # mid-corpus seek
+    )
+    tf, tp = full.sink_totals(), part.sink_totals()
+    assert 0 < sum(tp.values()) < sum(tf.values())
+    assert part.watermark() == full.watermark()  # max_ts unaffected by seek
+
+
+def test_sliding_window_covers_each_event_seven_times():
+    """Every event lands in exactly WINDOW/STEP windows: total cnt over the
+    sliding result is 7x the event count, and each tumbling day aggregates
+    into exactly the 7 windows covering it."""
+    from oplog_analyzer_ray.pipelines.events import (
+        _events_rows,
+        sliding_window,
+        tumbling_window,
+    )
+
+    slide = sliding_window(SF_DIR).to_pandas()
+    assert slide["cnt"].sum() == 7 * _events_rows(SF_DIR)
+    tumb = tumbling_window(SF_DIR).to_pandas()
+    # per event_type: sliding total value == 7x tumbling total value
+    s = slide.groupby("event_type")["sum_value"].sum().round(2)
+    t = (tumb.groupby("event_type")["sum_value"].sum() * 7).round(2)
+    pd.testing.assert_series_equal(s, t, check_names=False)
+
+
 def test_filtered_scan_pushdown_prunes_rows():
     """The ts-range predicate runs inside read_parquet: the scan yields
     strictly fewer rows than the corpus (rows before the bound are planted
