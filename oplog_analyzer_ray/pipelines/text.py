@@ -82,8 +82,17 @@ def token_counts(sf_dir: str) -> Dataset:
     )
 
 
+# quality-score components (length/punct/stopword/uniqueness — the full
+# training-data quality contract); length saturates at QUAL_LEN_SAT tokens
+QUAL_LEN_SAT = 64.0
+
+
 def quality_scores(sf_dir: str) -> Dataset:
-    """Stopword/uniqueness quality heuristic (0..1, higher = better)."""
+    """Composite document-quality heuristic (0..1, higher = better):
+    stopword ratio, type/token (uniqueness) ratio, punctuation density
+    (non-alnum-non-space chars per char) and a saturating length score
+    (n_tokens/64 capped at 1).  Composite = mean of the four goodness
+    terms; every component is mirrored bit-exactly in SQL."""
     stop = {"the", "a"}
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -93,12 +102,21 @@ def quality_scores(sf_dir: str) -> Dataset:
         uniq = toks.map(lambda t: len(set(t))).astype("float64")
         stop_ratio = stop_hits / n
         uniq_ratio = uniq / n
+        n_chars = df["text"].str.len().astype("float64")
+        punct = df["text"].str.count(r"[^A-Za-z0-9 ]").astype("float64")
+        punct_ratio = punct / n_chars
+        len_score = np.minimum(n / QUAL_LEN_SAT, 1.0)
+        quality = 0.25 * (
+            uniq_ratio + (1.0 - stop_ratio) + (1.0 - punct_ratio) + len_score
+        )
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "stopword_ratio": _trunc6(stop_ratio),
                 "uniq_ratio": _trunc6(uniq_ratio),
-                "quality": _trunc6(0.5 * uniq_ratio + 0.5 * (1.0 - stop_ratio)),
+                "punct_ratio": _trunc6(punct_ratio),
+                "length_score": _trunc6(len_score),
+                "quality": _trunc6(quality),
             }
         )
 
