@@ -10,8 +10,8 @@ Prints exactly ONE JSON line on stdout:
    "queries": {...per-stage/per-query sec...}, "sf": .., "num_cpus": N,
    "rows": n, "turns_per_sec": r}
 
---scaling runs the headline job twice in FRESH processes (num_cpus=8 then 32,
-the in-sandbox proxy for N vs 4N nodes) on the same input and reports both
+--scaling runs the headline job in FRESH processes at num_cpus=4 and 16 (the
+in-sandbox proxy for N vs 4N nodes; best-of-3 interleaved) and reports both
 throughputs plus scaling efficiency = (T_small / T_big) / (cpus_big/cpus_small).
 """
 
