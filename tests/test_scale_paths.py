@@ -37,11 +37,13 @@ def test_session_buckets_scale_with_input():
         ev.SESSION_ROWS_PER_BUCKET = orig
 
 
-def test_grouped_bucket_invariant():
-    """The bucketed exchange width (dyn_buckets) is pure execution detail:
-    grouped() must produce identical stats at any width."""
+def test_grouped_bucket_invariant(monkeypatch):
+    """The final-merge plan (single-task small merge vs bucketed exchange
+    at any width) is pure execution detail: grouped() must produce
+    identical stats under every plan."""
     import numpy as np
 
+    from oplog_analyzer_ray.pipelines import agg
     from oplog_analyzer_ray.pipelines.agg import GroupSpec, grouped
 
     rng = np.random.default_rng(3)
@@ -53,12 +55,19 @@ def test_grouped_bucket_invariant():
     )
     spec = GroupSpec(keys=("k",), sum_cols=("v",), min_cols=("v",), max_cols=("v",))
     outs = []
+    # small-merge plan (default threshold) …
+    ds = ray.data.from_pandas(df).repartition(8)
+    outs.append(
+        grouped(ds, spec).to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    # … and the bucketed exchange, forced, at several widths
+    monkeypatch.setattr(agg, "SMALL_MERGE_ROWS", 0)
     for b in (2, 64, 333):
         ds = ray.data.from_pandas(df).repartition(8)
         out = grouped(ds, spec, buckets=b).to_pandas()
         outs.append(out.sort_values("k").reset_index(drop=True))
-    pd.testing.assert_frame_equal(outs[0], outs[1])
-    pd.testing.assert_frame_equal(outs[0], outs[2])
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
 
 
 def test_route_start_ts_pushdown(tmp_path):
