@@ -17,7 +17,11 @@ from typing import Any
 from oplog_analyzer_ray import oracle
 from oplog_analyzer_ray.pipelines import analyze, core, dedup, sample, similarity, text
 from oplog_analyzer_ray.pipelines import events as ev
-from oplog_analyzer_ray.stages.media import media_features, media_frame_sample
+from oplog_analyzer_ray.stages.media import (
+    media_features,
+    media_frame_sample,
+    media_resize,
+)
 from oplog_analyzer_ray.synth import ensure_transcripts
 
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
@@ -78,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": ev.sliding_window,
         "media_features": media_features,  # codec stubbed; plumbing real
         "media_frame_sample": media_frame_sample,  # explode-per-frame plumbing
+        "media_resize": media_resize,  # binary-out resize plumbing
     }
 
 
@@ -133,4 +138,5 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oracle.SLIDING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,
         "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
+        "media_resize": oracle.MEDIA_RESIZE,
     }

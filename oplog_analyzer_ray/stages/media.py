@@ -132,6 +132,73 @@ def media_frame_sample(sf_dir: str) -> Dataset:
     )
 
 
+RESIZE_FACTOR = 2  # fake "resolution" downsample: keep every 2nd byte
+
+
+class MediaResizeStage:
+    """Actor-pool resize: payload in, (smaller) payload out — the binary-
+    OUT pattern the other media stages don't exercise (wide outputs need
+    the same small-batch discipline as wide inputs).  The stub 'resize'
+    keeps every RESIZE_FACTOR-th byte (deterministic, size-halving); a
+    real image resize slots in behind the same codec boundary."""
+
+    def __init__(self, codec: str | None = None):
+        if codec is not None:
+            raise NotImplementedError(
+                f"media codec {codec!r} not available in this environment; "
+                "only the deterministic stub (codec=None) is supported"
+            )
+        self._md5 = hashlib.md5
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [p[::RESIZE_FACTOR] for p in batch.column("payload").to_pylist()]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "payload": pa.array(out, pa.binary()),
+                "in_bytes": pa.array(
+                    [len(p) for p in batch.column("payload").to_pylist()],
+                    pa.int64(),
+                ),
+                "out_bytes": pa.array([len(p) for p in out], pa.int64()),
+                "out_fp8": pa.array(
+                    [self._md5(p).hexdigest()[:8] for p in out], pa.string()
+                ),
+            }
+        )
+
+
+def media_resize(sf_dir: str) -> Dataset:
+    """Resize pipeline: payload → downsampled payload + metadata.  The
+    query surface drops the binary column (oracle compares the metadata +
+    fingerprint; the payload is the downstream input, not the report)."""
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "payload": t.column("text").cast(pa.binary()),
+            }
+        )
+
+    return (
+        docs.map_batches(to_payload, batch_format="pyarrow")
+        .map_batches(
+            MediaResizeStage,
+            batch_format="pyarrow",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+        )
+        .map_batches(
+            lambda t: t.drop_columns(["payload"]), batch_format="pyarrow"
+        )
+        .sort(["media_id"])
+    )
+
+
 def media_features(sf_dir: str) -> Dataset:
     """documents.text re-encoded as a binary payload column → actor-pool
     feature extraction.  Oracle: octet_length/md5 SQL over the same rows."""

@@ -60,6 +60,7 @@ _TABLE_SQL = {
     "sliding_window": oracle.SLIDING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
     "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
+    "media_resize": oracle.MEDIA_RESIZE,
 }
 
 # approximate → rows-only in the driver, no parity here
