@@ -29,6 +29,7 @@ import pyarrow as pa
 
 import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 
 
@@ -77,8 +78,11 @@ def _partial_batch(batch: pa.Table, spec: GroupSpec) -> pa.Table:
 # rows fed to one partial-aggregation task (coalesces tiny upstream blocks)
 PARTIAL_BATCH = 1_000_000
 
-# rows of partials combined per compaction task (tree-combine tier)
-COMPACT_BATCH = 200_000
+# rows of partials combined per compaction task (tree-combine tier).  Wider
+# windows buy cross-block dedup before the exchange: at sf5 the hot-key
+# partials drop 5.9M → 4.8M rows going 200k → 2M, directly cutting the
+# bytes the final exchange must move.
+COMPACT_BATCH = 2_000_000
 
 
 def _combine_partials(batch: pa.Table, spec: GroupSpec) -> pa.Table:
@@ -114,9 +118,18 @@ MERGE_BUCKETS = 64
 # partial-row ceiling for the single-task final merge: below this the whole
 # compacted partial set merges in ONE vectorized arrow group_by on one
 # worker (the small-side coalesce, same idea as Spark AQE's shuffle
-# elimination) — measured 2.4x faster than the 64-bucket sort exchange at
-# 5.7M partial rows / 2M groups.  Above it, the bucketed exchange runs.
-SMALL_MERGE_ROWS = 8_000_000
+# elimination).  Low-cardinality groupings (per-sink stats: blocks × ~50
+# groups) stay under it and skip the exchange entirely; anything bigger
+# takes the parallel hash exchange — a serial merge of millions of partials
+# is exactly the Amdahl term that capped round-2's 4→16 scaling at 0.64.
+SMALL_MERGE_ROWS = 65_536
+
+# driver-side ref-count guard for the hand-rolled exchange: it tracks
+# blocks × buckets ObjectRefs, trivial here (tens × hundreds) but not at a
+# 256-node cluster's 10k blocks × 16k buckets — past this fanout, fall back
+# to Ray Data's sort-based shuffle, whose distributed metadata handling is
+# built for that regime.
+MAX_EXCHANGE_FANOUT = 1 << 18
 
 
 def dyn_buckets(floor: int = MERGE_BUCKETS) -> int:
@@ -135,14 +148,18 @@ def dyn_buckets(floor: int = MERGE_BUCKETS) -> int:
     return floor
 
 
-def _bucket_of(t: pa.Table, keys: tuple[str, ...], buckets: int) -> pa.Array:
+def _bucket_np(t: pa.Table, keys: tuple[str, ...], buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket of the composite key
     (pandas hash_array uses a fixed siphash key, so every worker agrees)."""
     h = np.zeros(t.num_rows, dtype=np.uint64)
     for k in keys:
         arr = t.column(k).to_pandas().to_numpy()
         h = h * np.uint64(1_000_003) + pd.util.hash_array(arr, categorize=False)
-    return pa.array((h % buckets).astype(np.int64))
+    return (h % buckets).astype(np.int64)
+
+
+def _bucket_of(t: pa.Table, keys: tuple[str, ...], buckets: int) -> pa.Array:
+    return pa.array(_bucket_np(t, keys, buckets))
 
 
 def _final_names(spec: GroupSpec) -> dict[str, str]:
@@ -160,64 +177,284 @@ def _final_names(spec: GroupSpec) -> dict[str, str]:
     return names
 
 
-def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset:
-    """partial-per-block pre-aggregate → compaction combine → hash-bucketed
-    exact merge → final stats columns.
+def _pick_spec(t: pa.Table, spec_idx: int | None, cols: list[str] | None):
+    """Inside-task projection for grouped_multi's union-schema partials:
+    keep one spec's rows/columns.  No-op for single-spec grouped()."""
+    if spec_idx is None:
+        return t
+    return t.filter(pc.equal(t.column("_spec"), spec_idx)).select(cols)
 
-    The final exchange is a ``groupby(_bucket).map_groups`` over the small
-    int bucket key, with the per-bucket merge done as ONE vectorized arrow
-    ``group_by`` — NOT Ray's ``groupby(keys).aggregate(...)``, whose
-    sort-based reduce pays per-key Python overhead (measured 29s vs 0.7s for
-    450k distinct keys at sf1).  Buckets = shuffle width; each bucket's
-    merge is exact because hashing co-locates every partial of a key.
+
+@ray.remote
+def _split_task(
+    t: pa.Table,
+    keys: tuple[str, ...],
+    buckets: int,
+    spec_idx: int | None = None,
+    cols: list[str] | None = None,
+):
+    """Map side of the hand-rolled hash exchange: one pass that orders the
+    block by bucket and returns ``buckets`` contiguous slices (Ray scatters
+    them as separate objects via ``num_returns``)."""
+    t = _pick_spec(t, spec_idx, cols)
+    b = _bucket_np(t, keys, buckets)
+    order = np.argsort(b, kind="stable")
+    t2 = t.take(pa.array(order))
+    cuts = np.searchsorted(b[order], np.arange(buckets + 1))
+    return [
+        t2.slice(cuts[i], cuts[i + 1] - cuts[i]).combine_chunks()
+        for i in range(buckets)
+    ]
+
+
+@ray.remote
+def _merge_task(spec: GroupSpec, names: dict, *shards: pa.Table) -> pa.Table:
+    """Reduce side: every partial of a key lands in exactly one bucket, so
+    one vectorized arrow ``group_by`` over the concatenated shards is the
+    exact merge."""
+    out = _combine_partials(pa.concat_tables(shards), spec)
+    return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+
+@ray.remote
+def _concat_merge_task(
+    spec: GroupSpec,
+    names: dict,
+    spec_idx: int | None,
+    cols: list[str] | None,
+    *blocks: pa.Table,
+) -> pa.Table:
+    """Small-cardinality path: merge ALL partials in one task (exact — every
+    partial is in the concat).  A raw task instead of a
+    repartition(1)+map_batches Dataset job: grouped() runs per query, and
+    ~0.3 s of streaming-executor startup per tiny merge is pure Amdahl tax."""
+    t = pa.concat_tables([_pick_spec(b, spec_idx, cols) for b in blocks])
+    out = _combine_partials(t, spec)
+    return out.rename_columns([names.get(c, c) for c in out.column_names])
+
+
+def _exchange_merge(
+    partial: Dataset,
+    spec: GroupSpec,
+    buckets: int,
+    *,
+    refs: list | None = None,
+    n_rows: int | None = None,
+    spec_idx: int | None = None,
+    cols: list[str] | None = None,
+) -> Dataset:
+    """Final exact merge of MATERIALIZED compacted partials — plan picked by
+    cardinality:
+
+    - ≤ SMALL_MERGE_ROWS partials: ONE arrow group_by task (no exchange —
+      spawning ``buckets`` merge tasks for a 48-group result is pure
+      overhead);
+    - otherwise a hand-rolled task-based hash exchange: per-block split
+      tasks scatter bucket slices, one merge task per bucket does the
+      vectorized group_by.  Chosen over Ray's sort-based
+      ``groupby(_bucket).map_groups`` on measurement (sf5 hot-key partials,
+      fresh sessions, best-of-2): hand 1.15 s @16 cpus / 2.05 s @4 vs sort
+      1.58 s / 7.38 s — the sort path pays a boundary-sampling pass plus
+      sort-merge machinery that a pre-hashed int bucket never needs.  Also
+      NOT Ray's ``groupby(keys).aggregate(...)``, whose sort-based reduce
+      pays per-key Python overhead (measured 29 s vs 0.7 s at 450k keys);
+    - past MAX_EXCHANGE_FANOUT (blocks × buckets ObjectRefs on the driver),
+      fall back to Ray Data's sort shuffle, which owns that regime.
+
+    ``spec_idx``/``cols`` (grouped_multi) push the per-spec projection into
+    the exchange tasks themselves — no intermediate filtered Dataset.
     """
-    buckets = buckets or dyn_buckets()
-    # batch_size coalesces small upstream blocks (e.g. hundreds of routed
-    # per-(part,sink) files) into few large partial tasks: per-task
-    # scheduling overhead, not group_by compute, dominates tiny blocks —
-    # measured 1.4x scaling 2→8 cpus per-block vs near-linear coalesced
-    partial = ds.map_batches(
-        _partial_batch,
-        fn_kwargs={"spec": spec},
-        batch_format="pyarrow",
-        batch_size=PARTIAL_BATCH,
-        zero_copy_batch=True,
-    ).map_batches(
-        _combine_partials,
-        fn_kwargs={"spec": spec},
-        batch_format="pyarrow",
-        batch_size=COMPACT_BATCH,
-    )
+    import ray.data as _rd
 
     names = _final_names(spec)
+    if refs is None:
+        refs = partial.to_arrow_refs()
+    if n_rows is None:
+        n_rows = partial.count()
 
+    if refs and n_rows <= SMALL_MERGE_ROWS:
+        return _rd.from_arrow_refs(
+            [_concat_merge_task.remote(spec, names, spec_idx, cols, *refs)]
+        )
+
+    if refs and len(refs) * buckets <= MAX_EXCHANGE_FANOUT:
+        split_out = [
+            _split_task.options(num_returns=buckets).remote(
+                r, spec.keys, buckets, spec_idx, cols
+            )
+            for r in refs
+        ]
+        merged = [
+            _merge_task.remote(spec, names, *[s[b] for s in split_out])
+            for b in range(buckets)
+        ]
+        return _rd.from_arrow_refs(merged)
+
+    # Ray Data sort-shuffle fallback (huge fanout) — and the refs-empty
+    # degenerate case, where map_batches supplies the empty-result schema
     def finish(t: pa.Table) -> pa.Table:
+        t = _pick_spec(t, spec_idx, cols)
         out = _combine_partials(t, spec)
         return out.rename_columns([names.get(c, c) for c in out.column_names])
 
-    # adaptive final merge: the compacted partial count is known (partials
-    # are materialized — they ARE the exchange input either way), so pick
-    # the plan the cardinality deserves.  Small → repartition(1) (plain
-    # concat, no shuffle) + ONE arrow group_by task: exactness is
-    # guaranteed because every partial is in that single block.  Large →
-    # the hash-bucketed exchange (buckets = shuffle width).
-    partial = partial.materialize()
-    if partial.count() <= SMALL_MERGE_ROWS:
+    if not refs:
         return partial.repartition(1).map_batches(
             finish, batch_format="pyarrow", batch_size=None
         )
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        t = _pick_spec(t, spec_idx, cols)
         return t.append_column("_bucket", _bucket_of(t, spec.keys, buckets))
 
     def merge_bucket(t: pa.Table) -> pa.Table:
-        return finish(t.drop_columns(["_bucket"]))
+        out = _combine_partials(t.drop_columns(["_bucket"]), spec)
+        return out.rename_columns([names.get(c, c) for c in out.column_names])
 
     return (
         partial.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )
+
+
+def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset:
+    """partial-per-block pre-aggregate → compaction combine → hash-bucketed
+    exact merge → final stats columns.
+
+    NOTE (eager execution): the upstream pipeline runs when ``grouped()`` is
+    CALLED — the compacted partials are materialized here because they are
+    the exchange input either way (bounded at blocks × groups rows), and the
+    merge plan is picked from their actual cardinality.  Callers composing
+    grouped() into larger lazy graphs should call it last.
+    """
+    buckets = buckets or dyn_buckets()
+    # batch_size coalesces small upstream blocks (e.g. hundreds of routed
+    # per-(part,sink) files) into few large partial tasks: per-task
+    # scheduling overhead, not group_by compute, dominates tiny blocks —
+    # measured 1.4x scaling 2→8 cpus per-block vs near-linear coalesced
+    partial = (
+        ds.map_batches(
+            _partial_batch,
+            fn_kwargs={"spec": spec},
+            batch_format="pyarrow",
+            batch_size=PARTIAL_BATCH,
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            _combine_partials,
+            fn_kwargs={"spec": spec},
+            batch_format="pyarrow",
+            batch_size=COMPACT_BATCH,
+        )
+        .materialize()
+    )
+    return _exchange_merge(partial, spec, buckets)
+
+
+@ray.remote
+def _spec_counts_task(t: pa.Table, n_specs: int) -> np.ndarray:
+    """Per-spec partial-row counts of one union block (for plan choice)."""
+    return np.bincount(
+        t.column("_spec").to_numpy(zero_copy_only=False), minlength=n_specs
+    ).astype(np.int64)
+
+
+def _partial_col_names(spec: GroupSpec) -> list[str]:
+    cols = []
+    if spec.count:
+        cols.append("_ones_sum")
+    cols += [f"{c}_sum" for c in spec.sum_cols]
+    cols += [f"{c}_min" for c in spec.min_cols]
+    cols += [f"{c}_max" for c in spec.max_cols]
+    cols += [f"{c}_count" for c in spec.count_valid]
+    return cols
+
+
+def grouped_multi(
+    ds: Dataset, specs: list[GroupSpec], buckets: int | None = None
+) -> list[Dataset]:
+    """N grouped aggregations from ONE scan of ``ds``.
+
+    Round-2's bench aggregate read the routed corpus into the object store
+    once (`materialize()`) so two ``grouped()`` calls could share it — a
+    full-dataset materialization whose cost is pure memory bandwidth and
+    scales at ~0 on a fixed box.  This fuses instead: one streaming pass
+    computes EVERY spec's per-block partials (each a vectorized group_by),
+    conformed to a union schema with a ``_spec`` discriminator and nulls in
+    foreign columns; compaction groups by (_spec, union keys) — the union
+    aggs are null-preserving per spec because arrow aggregates skip nulls —
+    and only the tiny per-spec partial sets are materialized and exchanged.
+    The 30M-row input never enters the object store.
+
+    Exactness per spec is pinned against separate grouped() calls in
+    tests/test_agg.py.
+    """
+    buckets = buckets or dyn_buckets()
+    union_keys = list(dict.fromkeys(k for s in specs for k in s.keys))
+    union_spec = GroupSpec(
+        keys=("_spec", *union_keys),
+        count=any(s.count for s in specs),
+        sum_cols=tuple(dict.fromkeys(c for s in specs for c in s.sum_cols)),
+        min_cols=tuple(dict.fromkeys(c for s in specs for c in s.min_cols)),
+        max_cols=tuple(dict.fromkeys(c for s in specs for c in s.max_cols)),
+        count_valid=tuple(
+            dict.fromkeys(c for s in specs for c in s.count_valid)
+        ),
+    )
+    union_cols = union_keys + _partial_col_names(union_spec)
+
+    def multi_partial(batch: pa.Table) -> pa.Table:
+        parts = [_partial_batch(batch, s) for s in specs]
+        tmap = {}
+        for p in parts:
+            for f in p.schema:
+                tmap.setdefault(f.name, f.type)
+        outs = []
+        for i, p in enumerate(parts):
+            cols = {"_spec": pa.array(np.full(p.num_rows, i, dtype=np.int8))}
+            for c in union_cols:
+                cols[c] = (
+                    p.column(c)
+                    if c in p.column_names
+                    else pa.nulls(p.num_rows, tmap[c])
+                )
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+    mat = (
+        ds.map_batches(
+            multi_partial,
+            batch_format="pyarrow",
+            batch_size=PARTIAL_BATCH,
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            _combine_partials,
+            fn_kwargs={"spec": union_spec},
+            batch_format="pyarrow",
+            batch_size=COMPACT_BATCH,
+        )
+        .materialize()
+    )
+
+    refs = mat.to_arrow_refs()
+    counts = np.zeros(len(specs), dtype=np.int64)
+    if refs:
+        counts = sum(
+            ray.get([_spec_counts_task.remote(r, len(specs)) for r in refs])
+        )
+    return [
+        _exchange_merge(
+            mat,
+            spec,
+            buckets,
+            refs=refs,
+            n_rows=int(counts[i]),
+            spec_idx=i,
+            cols=list(spec.keys) + _partial_col_names(spec),
+        )
+        for i, spec in enumerate(specs)
+    ]
 
 
 def copartitioned_hot_keys(data_dir: str, k: int = 20) -> Dataset:

@@ -42,14 +42,40 @@ def read_embeddings(sf_dir: str) -> Dataset:
     )
 
 
-def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def _query_row_groups(path: str, upper: int) -> list[int]:
+    """Row groups that can contain ``vec_id < upper`` by their min statistic.
+
+    The explicit row-group selection (rather than a full-table read) is what
+    bounds the query load at scale: on a 100 TB embeddings table sorted or
+    clustered by vec_id this touches one row group, never the table.  The
+    boundedness is pinned by tests (a 4-row-group file must select 1)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    df = t.to_pandas()
-    df = df[df["vec_id"] < N_QUERIES].sort_values("vec_id")
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    ci = names["vec_id"]
+    keep = []
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(ci).statistics
+        if stats is None or not stats.has_min_max or stats.min < upper:
+            keep.append(rg)
+    return keep
+
+
+def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load the N_QUERIES query vectors with a row-group-pruned read: only
+    groups whose vec_id min-statistic admits a match are decoded (fixes the
+    round-2 finding — the previous full-table ``pq.read_table`` was a
+    driver-side materialization of the whole corpus to fetch 5 rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    t = pf.read_row_groups(
+        _query_row_groups(path, N_QUERIES), columns=["vec_id", "embedding"]
+    ).filter(pc.less(pc.field("vec_id"), N_QUERIES))
+    df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
 
@@ -191,6 +217,10 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> pa.Table:
 
 NEAR_DUP_COS = 0.4
 EMB_CHUNK = 65_536  # target vectors per triangle-join chunk side
+# rows per cosine strip inside a chunk-pair task: the dense block is
+# TILE × EMB_CHUNK float64 ≈ 256 MB, not EMB_CHUNK² ≈ 34 GB — above-threshold
+# pairs are extracted per strip so only sparse hits accumulate
+EMB_TILE = 512
 
 
 def _emb_rows(sf_dir: str) -> int:
@@ -223,10 +253,12 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
     (vec_id % B) and each vector is replicated to the B pair-buckets its
     chunk participates in; one task per unordered chunk pair {i, j} computes
     the exact cosine block (chunk_i × chunk_j, or the upper triangle when
-    i == j).  Per-task memory is bounded at ~2·EMB_CHUNK vectors regardless
-    of corpus size — nothing broadcasts the full matrix and nothing lands on
-    the driver.  Cost is inherently O(n²) compute and B× replication (the
-    price of EXACT all-pairs); beyond ~10⁶ vectors use
+    i == j).  Per-task memory is bounded at ~2·EMB_CHUNK input vectors plus
+    one EMB_TILE × EMB_CHUNK cosine strip (~256 MB float64) — the dense
+    block is tiled, never EMB_CHUNK² at once — and nothing broadcasts the
+    full matrix or lands on the driver.  Cost is inherently O(n²) compute
+    and B× replication (the price of EXACT all-pairs); beyond ~10⁶ vectors
+    use
     ``embedding_near_dups_lsh``, which prunes candidates with the
     multi-probe hyperplane buckets instead.
     """
@@ -244,6 +276,32 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
         )
         return rep.append_column("_pair", pa.array(key))
 
+    def _strip_hits(rows: np.ndarray, cols: np.ndarray, lo_exclusive: bool):
+        """Above-threshold (row, col, cos) triples of rows @ cols.T, computed
+        in EMB_TILE-row strips so the dense temporary stays ~TILE × |cols|
+        float64 (≈256 MB at full EMB_CHUNK) instead of the whole block."""
+        ai = [np.empty(0, np.int64)]
+        bj = [np.empty(0, np.int64)]
+        cs = [np.empty(0, np.float64)]
+        for s in range(0, len(rows), EMB_TILE):
+            strip = rows[s : s + EMB_TILE] @ cols.T
+            if lo_exclusive:  # within-chunk: keep strictly-upper triangle
+                r = np.arange(s, s + strip.shape[0])[:, None]
+                strip_mask = (strip >= NEAR_DUP_COS) & (
+                    np.arange(cols.shape[0])[None, :] > r
+                )
+            else:
+                strip_mask = strip >= NEAR_DUP_COS
+            ia, jb = np.nonzero(strip_mask)
+            ai.append(ia + s)
+            bj.append(jb)
+            cs.append(strip[ia, jb])
+        return (
+            np.concatenate(ai).astype(np.int64),
+            np.concatenate(bj).astype(np.int64),
+            np.concatenate(cs),
+        )
+
     def compute(df: pd.DataFrame) -> pd.DataFrame:
         key = int(df["_pair"].iloc[0])
         i, j = divmod(key, B)
@@ -253,16 +311,14 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
         if i == j:
             order = np.argsort(vid)
             vid, mn = vid[order], mn[order]
-            cos = mn @ mn.T
-            ai, bj = np.nonzero(np.triu(cos >= NEAR_DUP_COS, k=1))
-            return _pair_frame(vid[ai], vid[bj], cos[ai, bj])
+            ai, bj, cs = _strip_hits(mn, mn, lo_exclusive=True)
+            return _pair_frame(vid[ai], vid[bj], cs)
         ma = (vid % B) == i
         mb = ~ma
-        cos = mn[ma] @ mn[mb].T
-        ai, bj = np.nonzero(cos >= NEAR_DUP_COS)
+        ai, bj, cs = _strip_hits(mn[ma], mn[mb], lo_exclusive=False)
         a_ids, b_ids = vid[ma][ai], vid[mb][bj]
         return _pair_frame(
-            np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), cos[ai, bj]
+            np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), cs
         )
 
     return (
@@ -359,13 +415,23 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     """Deterministic mini k-means (spherical): Lloyd iterations over the
     first IVF_SAMPLE vectors, initialized from strided rows.  Runs on the
     driver over a bounded sample — the index build is O(sample × C × d)
-    regardless of corpus size; at real scale the sample read is one
-    row-group slice, never the table."""
+    regardless of corpus size.  The sample read is STREAMED: row-group
+    batches are pulled until IVF_SAMPLE rows arrive and the file handle is
+    dropped, so the driver never holds more than ~one batch beyond the
+    sample no matter the table size (fixes the round-2 finding where the
+    docstring promised a bounded read the code didn't do)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batches, got = [], 0
+    for b in pf.iter_batches(
+        batch_size=IVF_SAMPLE, columns=["vec_id", "embedding"]
+    ):
+        batches.append(b)
+        got += b.num_rows
+        if got >= IVF_SAMPLE:
+            break
+    t = pa.Table.from_batches(batches)
     df = t.to_pandas().sort_values("vec_id").head(IVF_SAMPLE)
     m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)

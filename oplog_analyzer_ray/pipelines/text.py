@@ -33,16 +33,44 @@ LANG_MARKERS = {
 }
 
 
+def documents_path(sf_dir: str) -> str:
+    """The documents corpus: ``documents.parquet`` (single file — what the
+    synthetic sf dirs ship) or a ``documents/`` directory of parquet files
+    (what a real multi-file corpus looks like)."""
+    single = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(single):
+        return single
+    multi = os.path.join(sf_dir, "documents")
+    if os.path.isdir(multi):
+        return multi
+    return single  # let the read raise the canonical file-not-found
+
+
+def documents_bytes(sf_dir: str) -> int:
+    """On-disk corpus size across however many files it spans (round-2's
+    single-file ``getsize`` broke on exactly the layout real scale
+    produces)."""
+    p = documents_path(sf_dir)
+    if os.path.isdir(p):
+        return sum(
+            e.stat().st_size
+            for e in os.scandir(p)
+            if e.name.endswith(".parquet")
+        )
+    return os.path.getsize(p)
+
+
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
-    """Column-pruned documents scan.  Small corpora arrive as a single
-    parquet file, which Ray reads as ONE block — that serializes every
-    downstream kernel onto one core.  Ask for ~2 blocks per CPU so the
-    per-doc kernels (shingling, md5) parallelize regardless of the input
-    file layout; at real scale (many files) the hint is a no-op cap."""
+    """Column-pruned documents scan (single-file or directory corpus).
+    Small corpora arrive as a single parquet file, which Ray reads as ONE
+    block — that serializes every downstream kernel onto one core.  Ask for
+    ~2 blocks per CPU so the per-doc kernels (shingling, md5) parallelize
+    regardless of the input file layout; at real scale (many files) the
+    hint is a no-op cap."""
     from .agg import dyn_buckets
 
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
+        documents_path(sf_dir),
         columns=columns,
         override_num_blocks=dyn_buckets(16),
     )

@@ -64,6 +64,68 @@ def test_null_values_excluded_like_sql():
     assert rows["b"]["sum_v"] is None and rows["b"]["cntv_v"] == 0
 
 
+def test_grouped_multi_equals_separate_grouped():
+    """grouped_multi (one fused scan, union-schema partials) must equal
+    independent grouped() calls spec-by-spec — including null aggregation
+    semantics across the union schema."""
+    import pandas as pd
+
+    from oplog_analyzer_ray.pipelines.agg import grouped_multi
+
+    rng = np.random.default_rng(19)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 800, n).astype(str),
+            "s": np.array(["x", "y", "z"])[rng.integers(0, 3, n)],
+            "v": rng.integers(-100, 100, n),
+        }
+    )
+    df.loc[rng.integers(0, n, 500), "v"] = None  # exercise null skipping
+    specs = [
+        GroupSpec(keys=("k",), sum_cols=("v",), min_cols=("v",),
+                  max_cols=("v",), count_valid=("v",)),
+        GroupSpec(keys=("s", "k"), sum_cols=("v",)),
+        GroupSpec(keys=("s",), count=True),
+    ]
+
+    def norm(d, keys):
+        return (
+            d.to_pandas()
+            .sort_values(list(keys))
+            .reset_index(drop=True)
+        )
+
+    multi = grouped_multi(ray.data.from_pandas(df).repartition(9), specs)
+    for got, spec in zip(multi, specs):
+        want = grouped(ray.data.from_pandas(df).repartition(9), spec)
+        w = norm(want, spec.keys)
+        g = norm(got, spec.keys)[w.columns]
+        pd.testing.assert_frame_equal(g, w)
+
+
+def test_exchange_fanout_fallback_equals_hand_path(monkeypatch):
+    """Past MAX_EXCHANGE_FANOUT the exchange falls back to Ray's sort
+    shuffle; both plans must produce identical stats."""
+    import pandas as pd
+
+    from oplog_analyzer_ray.pipelines import agg
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame(
+        {"k": rng.integers(0, 500, 8000).astype(str),
+         "size": rng.integers(0, 9999, 8000)}
+    )
+    monkeypatch.setattr(agg, "SMALL_MERGE_ROWS", 0)  # force an exchange
+    hand = grouped(ray.data.from_pandas(df).repartition(6), SPEC).to_pandas()
+    monkeypatch.setattr(agg, "MAX_EXCHANGE_FANOUT", 0)  # force sort fallback
+    sort = grouped(ray.data.from_pandas(df).repartition(6), SPEC).to_pandas()
+    pd.testing.assert_frame_equal(
+        hand.sort_values("k").reset_index(drop=True),
+        sort.sort_values("k").reset_index(drop=True),
+    )
+
+
 def test_copartitioned_hot_keys_matches_general_path(tmp_path):
     """Under a genuinely id-sharded layout (every conv in exactly one
     part), the zero-shuffle co-partitioned top-K equals the general

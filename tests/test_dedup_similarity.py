@@ -269,3 +269,76 @@ def test_knn_lsh_recall_vs_bruteforce():
         brute, on=["query_id", "neighbor_id"], suffixes=("_a", "_b")
     )
     assert (merged["cos_a"] == merged["cos_b"]).all()
+
+
+def test_query_loader_prunes_row_groups(tmp_path):
+    """The knn query loader must decode only the row groups whose vec_id
+    min-statistic admits ``vec_id < N_QUERIES`` — on a 4-row-group sorted
+    corpus that is exactly one group, never the table (round-2 finding:
+    full-table driver read to fetch 5 rows)."""
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.similarity import (
+        N_QUERIES,
+        _load_queries,
+        _query_row_groups,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, rg = 400, 8, 100
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                list(rng.normal(size=(n, dim)).astype(np.float32)),
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    path = tmp_path / "embeddings.parquet"
+    pq.write_table(t, path, row_group_size=rg)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 4
+    assert _query_row_groups(str(path), N_QUERIES) == [0]
+
+    qids, qmat = _load_queries(str(tmp_path))
+    assert qids.tolist() == list(range(N_QUERIES))
+    assert qmat.shape == (N_QUERIES, dim)
+
+
+def test_ivf_sample_read_is_bounded(tmp_path):
+    """_ivf_centroids must stop pulling batches once IVF_SAMPLE rows have
+    arrived: rows past the sample carry NaN embeddings and negative vec_ids
+    that would poison the centroids if they were ever decoded."""
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.similarity import (
+        IVF_CENTROIDS,
+        IVF_SAMPLE,
+        _ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, extra = 8, 4096
+    good = rng.normal(size=(IVF_SAMPLE, dim))
+    poison = np.full((extra, dim), np.nan)
+    t = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate(
+                    [np.arange(IVF_SAMPLE), -1 - np.arange(extra)]
+                ),
+                pa.int64(),
+            ),
+            "embedding": pa.array(
+                list(np.vstack([good, poison]).astype(np.float32)),
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    # first row group = exactly the sample; poison rows live in later groups
+    pq.write_table(
+        t, tmp_path / "embeddings.parquet", row_group_size=IVF_SAMPLE
+    )
+    cents = _ivf_centroids(str(tmp_path))
+    assert cents.shape == (IVF_CENTROIDS, dim)
+    assert np.isfinite(cents).all()
