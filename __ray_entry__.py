@@ -117,9 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_skew": cte + oracle.SHARD_SKEW,
         "redacted_summaries": cte + oracle.REDACTED_SUMMARIES,
         "redacted_docs": cte + oracle.REDACTED_DOCS,
-        # training-data ops (documents/events/embeddings views); simhash64
-        # and knn_lsh intentionally omitted (non-SQL-expressible /
-        # approximate → driver's rows-only check)
+        # training-data ops (documents/events/embeddings views) — every op
+        # has a full SQL oracle, including the ANN family (see below)
         "token_counts": oracle.TOKEN_COUNTS,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
         "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
@@ -133,6 +132,15 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
+        # round-3: the ANN index artifacts (seeded hyperplanes / deterministic
+        # k-means centroids) are embedded as SQL literals so the *search* —
+        # bucketing, multi-probe, top-k — is exactly re-derived in DuckDB;
+        # no_oracle count drops from 3 to 0
+        "knn_lsh": oracle.knn_lsh_sql(_ORACLE_SF_DIR),
+        "knn_ivf": oracle.knn_ivf_sql(_ORACLE_SF_DIR),
+        "embedding_near_dups_lsh": oracle.embedding_near_dups_lsh_sql(
+            _ORACLE_SF_DIR
+        ),
         "sessionization": oracle.SESSIONIZATION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,

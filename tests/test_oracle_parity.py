@@ -63,8 +63,17 @@ _TABLE_SQL = {
     "media_resize": oracle.MEDIA_RESIZE,
 }
 
-# approximate → rows-only in the driver, no parity here
-NO_ORACLE = {"knn_lsh", "knn_ivf", "embedding_near_dups_lsh"}
+# round-3: the ANN family now has exact SQL oracles (index artifacts
+# embedded as literals, search re-derived in SQL) — nothing is rows-only
+NO_ORACLE: set[str] = set()
+
+# sf-parameterized SQL builders (the embedded plane/centroid literals are
+# derived from the sf dir's embeddings table)
+_SF_SQL = {
+    "knn_lsh": oracle.knn_lsh_sql,
+    "knn_ivf": oracle.knn_ivf_sql,
+    "embedding_near_dups_lsh": oracle.embedding_near_dups_lsh_sql,
+}
 
 
 @pytest.fixture(scope="session")
@@ -90,6 +99,8 @@ def _oracle_sql_for(name: str) -> str:
     if name in _TRANSCRIPT_BODIES:
         ensure_transcripts(SF_DIR)
         return oracle.events_cte(SF_DIR) + _TRANSCRIPT_BODIES[name]
+    if name in _SF_SQL:
+        return _SF_SQL[name](SF_DIR)
     return _TABLE_SQL[name]
 
 
@@ -97,6 +108,7 @@ _ALL = sorted(
     list(_TRANSCRIPT_BODIES)
     + ["filtered_events", "update_freq_by_shard"]
     + list(_TABLE_SQL)
+    + list(_SF_SQL)
 )
 
 
