@@ -50,9 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collection_patterns": core.collection_patterns,  # A11
         "routed_text": core.routed_text,  # north-rule text equality
         "filtered_events": core.filtered_events,  # F2/F3/F4/F7
+        "first_events": core.first_events,  # F9 limit (distributed top-N)
         "threshold_alerts": core.threshold_alerts,  # F5 side output
         "hot_keys_thresholded": core.hot_keys_thresholded,  # F6 pre-filter
         "hot_keys_docsize": core.hot_keys_docsize,  # A5 doc-size w/ null-sentinel
+        # ST1 dynamic: live-store point lookups w/ per-actor cache + fallback
+        "hot_keys_docsize_external": core.hot_keys_docsize_external,
         "sample_membership": sample.sample_membership,  # ST3 min-K distinct
         "sampled_events": sample.sampled_events,  # J5 broadcast semi-join
         "shard_workloads": analyze.shard_workloads,  # A10/A12
@@ -108,9 +111,11 @@ def oracle_sql() -> dict[str, str]:
         "collection_patterns": cte + oracle.COLLECTION_PATTERNS,
         "routed_text": cte + oracle.ROUTED_TEXT,
         "filtered_events": oracle.filters_sql(_ORACLE_SF_DIR),
+        "first_events": cte + oracle.FIRST_EVENTS,
         "threshold_alerts": cte + oracle.THRESHOLD_ALERTS,
         "hot_keys_thresholded": cte + oracle.HOT_KEYS_THRESHOLDED,
         "hot_keys_docsize": cte + oracle.HOT_KEYS_DOCSIZE,
+        "hot_keys_docsize_external": cte + oracle.EXT_DOCSIZE_HOT_KEYS,
         "sample_membership": cte + oracle.SAMPLE_MEMBERSHIP,
         "sampled_events": cte + oracle.SAMPLED_EVENTS,
         "shard_workloads": cte + oracle.SHARD_WORKLOADS,

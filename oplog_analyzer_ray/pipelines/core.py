@@ -534,6 +534,38 @@ def filtered_events(sf_dir: str) -> Dataset:
     ).sort(["conv_id", "turn_idx", "event_seq"])
 
 
+FIRST_EVENTS_N = 100
+
+
+def first_events(sf_dir: str, n: int = FIRST_EVENTS_N) -> Dataset:
+    """F9 ``--limit`` contract query: the first ``n`` kept events under the
+    total order (conv_id, turn_idx, event_seq).
+
+    A bare ``sort().limit(n)`` would range-partition the whole corpus for n
+    rows; instead each block prunes to its local first-n and only
+    blocks × n rows reach the final tiny sort (``agg.topk``) — the same
+    shape as the hot-key top-K, which is what F9 means at 100 TB.
+    """
+    from .agg import topk
+
+    ev = _mask_batches(
+        event_dataset(sf_dir),
+        lambda t: pc.not_equal(t.column("op_class"), "x"),
+    ).map_batches(
+        lambda t: t.select(
+            ["conv_id", "turn_idx", "event_seq", "ns", "op_class", "size"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    order = [
+        ("conv_id", "ascending"),
+        ("turn_idx", "ascending"),
+        ("event_seq", "ascending"),
+    ]
+    return topk(ev, n, order)
+
+
 ALERT_THRESHOLD = 4096  # F5 --threshold analogue
 ID_STATS_THRESHOLD = 2048  # F6 --idStatsThreshold analogue
 
@@ -618,6 +650,50 @@ def bucket_histogram_custom(
         return pa.table(cols)
 
     return g.map_batches(post, batch_format="pyarrow").sort(["ns", "op_class"])
+
+
+def hot_keys_docsize_external(sf_dir: str, k: int = 20) -> Dataset:
+    """ST1 dynamic variant: hot-key doc-size stats where doc sizes come from
+    a LIVE external store via actor-pool point lookups (micro-batched ``IN``
+    with per-actor cache + miss fallback to the event's own size) instead of
+    the static broadcast table — the full ``fetchDocSizes`` contract
+    (TailCommand.java:398-463).  See ``stages/external.py``."""
+    from ..stages.external import ExternalDocSizeStage, ensure_store
+
+    db = ensure_store(sf_dir)
+    ev = _mask_batches(event_dataset(sf_dir), _ok).map_batches(
+        ExternalDocSizeStage,
+        fn_constructor_kwargs={"db_path": db},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    g = grouped(
+        ev,
+        GroupSpec(
+            keys=("ns", "conv_id"),
+            sum_cols=("size", "ext_doc_size", "store_hit"),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "conv_id": t.column("conv_id"),
+                "cnt": t.column("cnt"),
+                "total_size": t.column("sum_size"),
+                "ext_doc_size": pc.cast(t.column("sum_ext_doc_size"), pa.int64()),
+                "store_hits": pc.cast(t.column("sum_store_hit"), pa.int64()),
+            }
+        )
+
+    from .agg import topk
+
+    return topk(
+        g.map_batches(post, batch_format="pyarrow"),
+        k,
+        [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
+    )
 
 
 def hot_keys_docsize(sf_dir: str, k: int = 20) -> Dataset:

@@ -30,9 +30,11 @@ _TRANSCRIPT_BODIES = {
     "update_freq": oracle.UPDATE_FREQ,
     "collection_patterns": oracle.COLLECTION_PATTERNS,
     "routed_text": oracle.ROUTED_TEXT,
+    "first_events": oracle.FIRST_EVENTS,
     "threshold_alerts": oracle.THRESHOLD_ALERTS,
     "hot_keys_thresholded": oracle.HOT_KEYS_THRESHOLDED,
     "hot_keys_docsize": oracle.HOT_KEYS_DOCSIZE,
+    "hot_keys_docsize_external": oracle.EXT_DOCSIZE_HOT_KEYS,
     "sample_membership": oracle.SAMPLE_MEMBERSHIP,
     "sampled_events": oracle.SAMPLED_EVENTS,
     "shard_workloads": oracle.SHARD_WORKLOADS,
