@@ -75,18 +75,30 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from oplog_analyzer_ray.pipelines import core
-    from oplog_analyzer_ray.pipelines.route import route
     from oplog_analyzer_ray.synth import ensure_transcripts
 
     src_dir = ensure_transcripts(sf_dir)  # warm, cached; generation untimed
     n_rows = _corpus_rows(src_dir)
+
+    from oplog_analyzer_ray.pipelines.agg import GroupSpec, topk
+    from oplog_analyzer_ray.pipelines.route import route_aggregate
+
+    HEADLINE_SPECS = [
+        GroupSpec(
+            keys=("sink", "ns", "op_class"),
+            sum_cols=("size",),
+            min_cols=("size",),
+            max_cols=("size",),
+        ),
+        GroupSpec(keys=("ns", "conv_id"), sum_cols=("size",)),
+    ]
 
     # untimed warmup on a SMALL corpus: spawns worker processes, imports, and
     # read-planning caches so the timed run measures steady-state throughput,
     # not cold-start — without paying a full extra pass over the real input
     warm_root = tempfile.mkdtemp(prefix="bench_warmup_", dir=BENCH_TMP)
     try:
-        route("/root/testdata/sf0.01", warm_root)
+        route_aggregate("/root/testdata/sf0.01", warm_root, HEADLINE_SPECS)
     finally:
         shutil.rmtree(warm_root, ignore_errors=True)
 
@@ -98,36 +110,17 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         out_root = tempfile.mkdtemp(prefix="bench_routed_", dir=BENCH_TMP)
         att: dict[str, float] = {}
         try:
+            # FUSED route+aggregate: the per-(part,sink) parquet write and
+            # both aggregations' partials come out of ONE streaming scan —
+            # the routed corpus is never re-read for the report stage
+            # (round 2 paid a full column-pruned second pass here)
             t0 = time.monotonic()
-            route(sf_dir, out_root)
-            att["route_write"] = time.monotonic() - t0
+            _, (g_sink, g_hot) = route_aggregate(
+                sf_dir, out_root, HEADLINE_SPECS
+            )
+            att["fused_route_partials"] = time.monotonic() - t0
 
-            # aggregate pass over the routed output, column-pruned at the read
             t0 = time.monotonic()
-            from oplog_analyzer_ray.pipelines.agg import (
-                GroupSpec, grouped_multi, topk,
-            )
-
-            # ONE streaming pass computes both aggregations' partials
-            # (grouped_multi): the routed corpus is never materialized into
-            # the object store — round 2 paid a full-dataset materialize
-            # here (pure memory bandwidth, ~0 scaling on a fixed box)
-            routed = ray.data.read_parquet(
-                os.path.join(out_root, "data"),
-                columns=["sink", "ns", "op_class", "size", "conv_id"],
-            )
-            g_sink, g_hot = grouped_multi(
-                routed,
-                [
-                    GroupSpec(
-                        keys=("sink", "ns", "op_class"),
-                        sum_cols=("size",),
-                        min_cols=("size",),
-                        max_cols=("size",),
-                    ),
-                    GroupSpec(keys=("ns", "conv_id"), sum_cols=("size",)),
-                ],
-            )
             g_sink.materialize()
             topk(
                 g_hot,
@@ -135,17 +128,17 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
                 [("cnt", "descending"), ("ns", "ascending"),
                  ("conv_id", "ascending")],
             ).materialize()
-            att["aggregate"] = time.monotonic() - t0
+            att["merge_topk"] = time.monotonic() - t0
         finally:
             shutil.rmtree(out_root, ignore_errors=True)
         if (
             not timings
-            or att["route_write"] + att["aggregate"]
-            < timings["route_write"] + timings["aggregate"]
+            or att["fused_route_partials"] + att["merge_topk"]
+            < timings["fused_route_partials"] + timings["merge_topk"]
         ):
             timings = att
 
-    total = timings["route_write"] + timings["aggregate"]
+    total = timings["fused_route_partials"] + timings["merge_topk"]
 
     if not headline_only:
         from oplog_analyzer_ray.pipelines import dedup, similarity

@@ -370,6 +370,92 @@ def _partial_col_names(spec: GroupSpec) -> list[str]:
     return cols
 
 
+@dataclass(frozen=True)
+class UnionPlan:
+    """Shared machinery for multi-spec single-scan aggregation: the union
+    partial schema (``_spec`` discriminator + nulls in foreign columns) and
+    the per-batch partial function.  Built once on the driver; used by
+    ``grouped_multi`` and by the fused route+aggregate pass
+    (pipelines/route.route_aggregate), which computes the same partials as a
+    side output of the routed WRITE scan."""
+
+    specs: tuple[GroupSpec, ...]
+    union_spec: GroupSpec
+    union_cols: tuple[str, ...]
+
+    def multi_partial(self, batch: pa.Table) -> pa.Table:
+        parts = [_partial_batch(batch, s) for s in self.specs]
+        tmap = {}
+        for p in parts:
+            for f in p.schema:
+                tmap.setdefault(f.name, f.type)
+        outs = []
+        for i, p in enumerate(parts):
+            cols = {"_spec": pa.array(np.full(p.num_rows, i, dtype=np.int8))}
+            for c in self.union_cols:
+                cols[c] = (
+                    p.column(c)
+                    if c in p.column_names
+                    else pa.nulls(p.num_rows, tmap[c])
+                )
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs)
+
+
+def union_plan(specs: list[GroupSpec]) -> UnionPlan:
+    union_keys = list(dict.fromkeys(k for s in specs for k in s.keys))
+    union_spec = GroupSpec(
+        keys=("_spec", *union_keys),
+        count=any(s.count for s in specs),
+        sum_cols=tuple(dict.fromkeys(c for s in specs for c in s.sum_cols)),
+        min_cols=tuple(dict.fromkeys(c for s in specs for c in s.min_cols)),
+        max_cols=tuple(dict.fromkeys(c for s in specs for c in s.max_cols)),
+        count_valid=tuple(
+            dict.fromkeys(c for s in specs for c in s.count_valid)
+        ),
+    )
+    union_cols = tuple(union_keys) + tuple(_partial_col_names(union_spec))
+    return UnionPlan(tuple(specs), union_spec, union_cols)
+
+
+def merge_union_partials(
+    mat: Dataset | list, plan: UnionPlan, buckets: int | None = None
+) -> list[Dataset]:
+    """Final per-spec exact merges over MATERIALIZED union partials.
+
+    ``mat`` may be a list of materialized partial Datasets (the fused
+    route+aggregate produces one per commit group, plus one for resumed
+    units) — their block refs are pooled; no data moves to combine them."""
+    buckets = buckets or dyn_buckets()
+    if isinstance(mat, (list, tuple)):
+        mats = [m for m in mat if m is not None]
+        if not mats:
+            raise ValueError("merge_union_partials: no partial datasets")
+        refs = [r for m in mats for r in m.to_arrow_refs()]
+        mat = mats[0] if len(mats) == 1 else mats[0].union(*mats[1:])
+    else:
+        refs = mat.to_arrow_refs()
+    counts = np.zeros(len(plan.specs), dtype=np.int64)
+    if refs:
+        counts = sum(
+            ray.get(
+                [_spec_counts_task.remote(r, len(plan.specs)) for r in refs]
+            )
+        )
+    return [
+        _exchange_merge(
+            mat,
+            spec,
+            buckets,
+            refs=refs,
+            n_rows=int(counts[i]),
+            spec_idx=i,
+            cols=list(spec.keys) + _partial_col_names(spec),
+        )
+        for i, spec in enumerate(plan.specs)
+    ]
+
+
 def grouped_multi(
     ds: Dataset, specs: list[GroupSpec], buckets: int | None = None
 ) -> list[Dataset]:
@@ -389,72 +475,23 @@ def grouped_multi(
     Exactness per spec is pinned against separate grouped() calls in
     tests/test_agg.py.
     """
-    buckets = buckets or dyn_buckets()
-    union_keys = list(dict.fromkeys(k for s in specs for k in s.keys))
-    union_spec = GroupSpec(
-        keys=("_spec", *union_keys),
-        count=any(s.count for s in specs),
-        sum_cols=tuple(dict.fromkeys(c for s in specs for c in s.sum_cols)),
-        min_cols=tuple(dict.fromkeys(c for s in specs for c in s.min_cols)),
-        max_cols=tuple(dict.fromkeys(c for s in specs for c in s.max_cols)),
-        count_valid=tuple(
-            dict.fromkeys(c for s in specs for c in s.count_valid)
-        ),
-    )
-    union_cols = union_keys + _partial_col_names(union_spec)
-
-    def multi_partial(batch: pa.Table) -> pa.Table:
-        parts = [_partial_batch(batch, s) for s in specs]
-        tmap = {}
-        for p in parts:
-            for f in p.schema:
-                tmap.setdefault(f.name, f.type)
-        outs = []
-        for i, p in enumerate(parts):
-            cols = {"_spec": pa.array(np.full(p.num_rows, i, dtype=np.int8))}
-            for c in union_cols:
-                cols[c] = (
-                    p.column(c)
-                    if c in p.column_names
-                    else pa.nulls(p.num_rows, tmap[c])
-                )
-            outs.append(pa.table(cols))
-        return pa.concat_tables(outs)
-
+    plan = union_plan(specs)
     mat = (
         ds.map_batches(
-            multi_partial,
+            plan.multi_partial,
             batch_format="pyarrow",
             batch_size=PARTIAL_BATCH,
             zero_copy_batch=True,
         )
         .map_batches(
             _combine_partials,
-            fn_kwargs={"spec": union_spec},
+            fn_kwargs={"spec": plan.union_spec},
             batch_format="pyarrow",
             batch_size=COMPACT_BATCH,
         )
         .materialize()
     )
-
-    refs = mat.to_arrow_refs()
-    counts = np.zeros(len(specs), dtype=np.int64)
-    if refs:
-        counts = sum(
-            ray.get([_spec_counts_task.remote(r, len(specs)) for r in refs])
-        )
-    return [
-        _exchange_merge(
-            mat,
-            spec,
-            buckets,
-            refs=refs,
-            n_rows=int(counts[i]),
-            spec_idx=i,
-            cols=list(spec.keys) + _partial_col_names(spec),
-        )
-        for i, spec in enumerate(specs)
-    ]
+    return merge_union_partials(mat, plan, buckets)
 
 
 def copartitioned_hot_keys(data_dir: str, k: int = 20) -> Dataset:

@@ -20,6 +20,7 @@ A fresh run and a crash+resume run produce identical sink counts
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
@@ -190,3 +191,194 @@ def route(
 def read_routed(out_root: str) -> "ray.data.Dataset":
     """Read the routed output back (hive-partitioned on part/sink)."""
     return ray.data.read_parquet(os.path.join(out_root, "data"))
+
+
+def _write_and_partial(batch: pa.Table, data_dir: str, plan) -> pa.Table:
+    """Fused sink+aggregate map stage: write this block's rows to the
+    hive-partitioned routed layout AND return its union-schema aggregation
+    partials (tiny: groups-per-block rows).
+
+    The basename is a content hash of the block's key span, so a RETRIED
+    task overwrites its own files byte-for-byte instead of duplicating rows
+    (Ray Data's own write_parquet gets the same guarantee from task-indexed
+    filenames), and distinct blocks of one part can't collide."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    if batch.num_rows == 0:
+        return plan.multi_partial(batch)
+    h = hashlib.sha1()
+    for c in ("part", "conv_id", "turn_idx"):
+        col = batch.column(c)
+        h.update(str(col[0].as_py()).encode())
+        h.update(str(col[-1].as_py()).encode())
+    h.update(str(batch.num_rows).encode())
+    pads.write_dataset(
+        batch,
+        data_dir,
+        format="parquet",
+        partitioning=pads.partitioning(
+            pa.schema([("part", pa.string()), ("sink", pa.string())]),
+            flavor="hive",
+        ),
+        basename_template=f"fused-{h.hexdigest()[:16]}-{{i}}.parquet",
+        existing_data_behavior="overwrite_or_ignore",
+    )
+    return plan.multi_partial(batch)
+
+
+def route_aggregate(
+    sf_dir: str,
+    out_root: str,
+    specs: list,
+    units_per_commit: int | None = None,
+    shard_indexes: list[int] | None = None,
+):
+    """ONE-SCAN route + aggregate: the routed per-(part, sink) parquet write
+    and the grouped-aggregation partials come out of the SAME streaming pass
+    over the input — the corpus is never re-read for the report stage.
+
+    Why: the classic route() → read_routed() → grouped_multi() pipeline
+    pays a full second pass (read planning + decompress + decode of the
+    aggregate columns) over data it just wrote; at 100 TB that second pass
+    is petabyte-scale I/O for values that were in memory moments earlier.
+    Here the fused map stage writes each part-aligned block to the routed
+    layout and emits its per-block partials as the stage OUTPUT, so only
+    blocks × groups partial rows flow on — the report is a byproduct of the
+    write scan, the way the reference accumulates per-shard stats while
+    dumping (TailCommand.java:227-342 + 1003-1007).
+
+    Resume-aware: units already committed in the manifest are not re-routed
+    — their partials are recovered by a column-pruned read of ONLY their
+    partition dirs.  Returns ``(manifest, [Dataset-per-spec])`` with results
+    identical to route() + grouped_multi(read_routed()) (pinned by
+    tests/test_route_aggregate.py).
+    """
+    from .agg import (
+        COMPACT_BATCH,
+        PARTIAL_BATCH,
+        _combine_partials,
+        merge_union_partials,
+        union_plan,
+    )
+
+    plan = union_plan(specs)
+    src_dir = ensure_transcripts(sf_dir)
+    files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    if shard_indexes is not None:
+        files = [files[i] for i in shard_indexes]
+    data_dir = os.path.join(out_root, "data")
+    manifest = Manifest(os.path.join(out_root, "manifest.json"))
+    done = manifest.finished()
+    todo = [f for f in files if _unit_of(f) not in done]
+
+    partial_mats = []
+
+    # resumed units: recover their partials from the routed layout
+    # (column-pruned — only the spec columns leave storage)
+    done_dirs = [
+        os.path.join(data_dir, f"part={_unit_of(f)}")
+        for f in files
+        if _unit_of(f) in done
+    ]
+    done_files = []
+    for d in done_dirs:
+        if os.path.isdir(d):
+            done_files += glob.glob(os.path.join(d, "sink=*", "*.parquet"))
+    if done_files:
+        from ray.data.datasource.partitioning import Partitioning
+
+        cols = list(
+            dict.fromkeys(c for s in plan.specs for c in s.needed_columns)
+        )
+        partial_mats.append(
+            ray.data.read_parquet(
+                done_files,
+                columns=cols,
+                partitioning=Partitioning("hive", base_dir=data_dir),
+            )
+            .map_batches(
+                plan.multi_partial,
+                batch_format="pyarrow",
+                batch_size=PARTIAL_BATCH,
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                _combine_partials,
+                fn_kwargs={"spec": plan.union_spec},
+                batch_format="pyarrow",
+                batch_size=COMPACT_BATCH,
+            )
+            .materialize()
+        )
+
+    # idempotent re-processing: clear partial output of uncommitted units
+    for f in todo:
+        part_dir = os.path.join(data_dir, f"part={_unit_of(f)}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+    os.makedirs(data_dir, exist_ok=True)
+
+    g = units_per_commit or len(todo)
+    groups = [todo[i : i + g] for i in range(0, len(todo), g)]
+    lookups_ref = put_lookups() if todo else None
+    for group in groups:
+        t0 = time.monotonic()
+        ds = ray.data.read_parquet(
+            group, include_paths=True, override_num_blocks=len(group)
+        )
+        ds = ds.map_batches(_add_part, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(
+            parse_classify, batch_format="pyarrow", zero_copy_batch=True
+        )
+        ds = ds.map_batches(
+            make_enrich_fn(lookups_ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        mat = (
+            ds.map_batches(
+                _write_and_partial,
+                fn_kwargs={"data_dir": data_dir, "plan": plan},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .map_batches(
+                _combine_partials,
+                fn_kwargs={"spec": plan.union_spec},
+                batch_format="pyarrow",
+                batch_size=COMPACT_BATCH,
+            )
+            .materialize()  # drives the fused write+partial scan
+        )
+        partial_mats.append(mat)
+        wall = time.monotonic() - t0
+        commit_time = time.time()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            metrics = list(
+                pool.map(lambda f: _unit_metrics(data_dir, _unit_of(f)), group)
+            )
+        entries = []
+        for f, e in zip(group, metrics):
+            e["input_file"] = f
+            e["wall_secs_group"] = round(wall, 3)
+            if e["max_ts"]:
+                import datetime as _dt
+
+                wm = (
+                    _dt.datetime.fromisoformat(e["max_ts"])
+                    .replace(tzinfo=_dt.timezone.utc)
+                    .timestamp()
+                )
+                e["lag_secs"] = round(max(0.0, commit_time - wm), 3)
+            entries.append(e)
+        manifest.commit(entries)
+
+    return manifest, merge_union_partials(partial_mats, plan)

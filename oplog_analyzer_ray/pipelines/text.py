@@ -132,7 +132,11 @@ def quality_scores(sf_dir: str) -> Dataset:
         uniq_ratio = uniq / n
         n_chars = df["text"].str.len().astype("float64")
         punct = df["text"].str.count(r"[^A-Za-z0-9 ]").astype("float64")
-        punct_ratio = punct / n_chars
+        # empty doc: no chars → punctuation density defined as 0.0 (the SQL
+        # mirrors with COALESCE; numpy 0/0=NaN vs DuckDB /0=NULL otherwise)
+        punct_ratio = np.where(
+            n_chars > 0, punct / np.maximum(n_chars, 1.0), 0.0
+        )
         len_score = np.minimum(n / QUAL_LEN_SAT, 1.0)
         quality = 0.25 * (
             uniq_ratio + (1.0 - stop_ratio) + (1.0 - punct_ratio) + len_score

@@ -19,7 +19,9 @@ from __future__ import annotations
 import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
@@ -27,6 +29,38 @@ from ray.data import Dataset
 # wide payloads → small batches so batch × concurrency fits worker heap
 MEDIA_BATCH_SIZE = 64
 FAKE_FRAME_BYTES = 1024
+
+
+def _payload_view(batch: pa.Table, name: str = "payload"):
+    """Zero-copy view over a non-null binary column: ``(offsets, mv, bytes)``
+    where ``offsets`` is the int64 row-boundary array, ``mv`` a memoryview of
+    the value buffer (slice it for per-row hashing — no bytes copy) and
+    ``bytes`` the same buffer as a numpy uint8 array (fancy-index it for
+    vectorized byte gathers).  This is the shape a real codec stage should
+    consume: Arrow buffer slices, not ``to_pylist()`` Python bytes copies."""
+    a = batch.column(name).combine_chunks()
+    if isinstance(a, pa.ChunkedArray):
+        a = (
+            a.chunk(0)
+            if a.num_chunks
+            else pa.array([], type=a.type)
+        )
+    dt = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=dt)[
+        a.offset : a.offset + len(a) + 1
+    ].astype(np.int64)
+    buf = a.buffers()[2]
+    mv = memoryview(buf) if buf is not None else memoryview(b"")
+    data = np.frombuffer(mv, dtype=np.uint8)
+    return offs, mv, data
+
+
+def _ragged_arange(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(row_index, within_row_index) for a ragged explode of ``counts``."""
+    total = int(counts.sum())
+    row = np.repeat(np.arange(len(counts)), counts)
+    within = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    return row, within
 
 
 class MediaFeatureStage:
@@ -46,16 +80,20 @@ class MediaFeatureStage:
         self._md5 = hashlib.md5  # "codec" loaded once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payload = batch.column("payload").to_pylist()
-        fps = [self._md5(p).hexdigest() for p in payload]
-        n = [len(p) for p in payload]
+        offs, mv, _ = _payload_view(batch)
+        md5 = self._md5
+        fp8 = [
+            md5(mv[offs[i] : offs[i + 1]]).hexdigest()[:8]
+            for i in range(batch.num_rows)
+        ]
+        lens = offs[1:] - offs[:-1]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "n_bytes": pa.array(n, pa.int64()),
-                "fp8": pa.array([f[:8] for f in fps], pa.string()),
+                "n_bytes": pa.array(lens, pa.int64()),
+                "fp8": pa.array(fp8, pa.string()),
                 "n_frames": pa.array(
-                    [b // FAKE_FRAME_BYTES + 1 for b in n], pa.int64()
+                    lens // FAKE_FRAME_BYTES + 1, pa.int64()
                 ),
             }
         )
@@ -81,21 +119,25 @@ class MediaFrameSampleStage:
         self._md5 = hashlib.md5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mids, fidx, foff, fbytes, ffp = [], [], [], [], []
-        ids = batch.column("media_id").to_pylist()
-        for mid, p in zip(ids, batch.column("payload").to_pylist()):
-            n_frames = len(p) // FAKE_FRAME_BYTES + 1
-            for i in range(0, n_frames, FRAME_SAMPLE_EVERY):
-                off = i * FAKE_FRAME_BYTES
-                chunk = p[off : off + FAKE_FRAME_BYTES]
-                mids.append(mid)
-                fidx.append(i)
-                foff.append(off)
-                fbytes.append(len(chunk))
-                ffp.append(self._md5(chunk).hexdigest()[:8])
+        offs, mv, _ = _payload_view(batch)
+        lens = offs[1:] - offs[:-1]
+        n_frames = lens // FAKE_FRAME_BYTES + 1
+        n_samp = (n_frames + FRAME_SAMPLE_EVERY - 1) // FRAME_SAMPLE_EVERY
+        row, within = _ragged_arange(n_samp)
+        fidx = within * FRAME_SAMPLE_EVERY
+        foff = fidx * FAKE_FRAME_BYTES
+        fbytes = np.minimum(lens[row] - foff, FAKE_FRAME_BYTES)
+        starts = offs[:-1][row] + foff
+        md5 = self._md5
+        ffp = [
+            md5(mv[s : s + n]).hexdigest()[:8]
+            for s, n in zip(starts, fbytes)
+        ]
         return pa.table(
             {
-                "media_id": pa.array(mids, pa.int64()),
+                "media_id": pc.take(
+                    batch.column("media_id"), pa.array(row, pa.int64())
+                ),
                 "frame_idx": pa.array(fidx, pa.int64()),
                 "frame_off": pa.array(foff, pa.int64()),
                 "frame_bytes": pa.array(fbytes, pa.int64()),
@@ -151,19 +193,34 @@ class MediaResizeStage:
         self._md5 = hashlib.md5
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = [p[::RESIZE_FACTOR] for p in batch.column("payload").to_pylist()]
+        offs, _, data = _payload_view(batch)
+        lens = offs[1:] - offs[:-1]
+        # every-RESIZE_FACTOR-th byte of each payload, as ONE vectorized
+        # gather over the shared value buffer (== p[::RESIZE_FACTOR] per row)
+        out_lens = (lens + RESIZE_FACTOR - 1) // RESIZE_FACTOR
+        row, within = _ragged_arange(out_lens)
+        src = offs[:-1][row] + within * RESIZE_FACTOR
+        out_data = np.ascontiguousarray(data[src]) if len(src) else np.empty(0, np.uint8)
+        out_offs = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(out_lens, out=out_offs[1:])
+        out_arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(lens),
+            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(out_data.tobytes())],
+        )
+        mv = memoryview(out_data)
+        md5 = self._md5
+        fp8 = [
+            md5(mv[out_offs[i] : out_offs[i + 1]]).hexdigest()[:8]
+            for i in range(len(lens))
+        ]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "payload": pa.array(out, pa.binary()),
-                "in_bytes": pa.array(
-                    [len(p) for p in batch.column("payload").to_pylist()],
-                    pa.int64(),
-                ),
-                "out_bytes": pa.array([len(p) for p in out], pa.int64()),
-                "out_fp8": pa.array(
-                    [self._md5(p).hexdigest()[:8] for p in out], pa.string()
-                ),
+                "payload": out_arr,
+                "in_bytes": pa.array(lens, pa.int64()),
+                "out_bytes": pa.array(out_lens, pa.int64()),
+                "out_fp8": pa.array(fp8, pa.string()),
             }
         )
 

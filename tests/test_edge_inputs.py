@@ -90,3 +90,46 @@ def test_media_frame_sample_empty_payload(tmp_path):
     out = media_frame_sample(str(tmp_path)).to_pandas()
     # empty payload still yields its frame-0 row (n_frames = 0//1024 + 1)
     assert len(out) == 1 and out.iloc[0]["frame_bytes"] == 0
+
+
+def test_empty_doc_text_parity(tmp_path, duck):
+    """Empty documents must agree between the Ray kernels and the SQL
+    oracles: rolling fingerprint (0, 0, 1) and punct density 0.0 — the two
+    places where 0/0 used to diverge (NaN/empty-sum vs NULL)."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import (
+        quality_scores,
+        rolling_fingerprints,
+        token_counts_bpe,
+    )
+    from .util import assert_frames_match
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "lang": pa.array(["en", "en", "fr"]),
+                "text": pa.array(["", "short", "the quick brown fox ran."]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    for fn, sql in [
+        (rolling_fingerprints, oracle.ROLLING_FINGERPRINTS),
+        (quality_scores, oracle.QUALITY_SCORES),
+        (token_counts_bpe, oracle.TOKEN_COUNTS_BPE),
+    ]:
+        got = fn(str(tmp_path)).to_pandas().sort_values("doc_id")
+        want = duck.execute(sql).fetchdf().sort_values("doc_id")
+        assert_frames_match(
+            got.reset_index(drop=True),
+            want.reset_index(drop=True),
+            fn.__name__,
+        )
+    fp = rolling_fingerprints(str(tmp_path)).to_pandas()
+    row = fp[fp.doc_id == 1].iloc[0]
+    assert (row.min_whash, row.max_whash, row.distinct_windows) == (0, 0, 1)
