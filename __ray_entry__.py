@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": dedup.minhash_signatures,
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_jaccard": dedup.near_dup_jaccard,
+        "dedup_clusters": dedup.dedup_clusters,  # CC over the near-dup graph
         "simhash64": dedup.simhash64,
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": oracle.SIMHASH64,
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
+        "dedup_clusters": oracle.DEDUP_CLUSTERS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
         # round-3: the ANN index artifacts (seeded hyperplanes / deterministic

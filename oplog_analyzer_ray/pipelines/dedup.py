@@ -384,6 +384,12 @@ def _add_join_bucket(t: pa.Table, buckets: int) -> pa.Table:
 
 
 def near_dup_jaccard(sf_dir: str) -> Dataset:
+    """Sorted report surface of :func:`_jaccard_pairs` (the unsorted pair
+    set feeds :func:`dedup_clusters` without paying the range-partition)."""
+    return _jaccard_pairs(sf_dir).sort(["doc_a", "doc_b"])
+
+
+def _jaccard_pairs(sf_dir: str) -> Dataset:
     """Exact word-3-gram Jaccard for the LSH candidates, thresholded.
 
     Fully distributed doc_id-bucketed two-hop join (the 100 TB path): hop 1
@@ -487,7 +493,6 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
         .map_groups(
             lambda g: verify(g.drop_columns(["_bucket"])), batch_format="pyarrow"
         )
-        .sort(["doc_a", "doc_b"])
     )
 
 
@@ -542,4 +547,227 @@ def simhash64(sf_dir: str) -> Dataset:
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------- near-dup clustering
+# Connected components over the verified near-dup pair graph: the decision
+# step a real dedup pipeline runs after pair generation — pick ONE canonical
+# document per duplicate cluster, drop the rest.
+CC_MAX_ROUNDS = 64
+
+_CC_SCHEMA = pa.schema(
+    [("node", pa.int64()), ("lbl", pa.int64()), ("dst", pa.int64())]
+)
+
+
+def _bucket_on(t: pa.Table, col: str, buckets: int) -> pa.Table:
+    h = pd.util.hash_array(
+        t.column(col).to_numpy(zero_copy_only=False), categorize=False
+    )
+    return t.append_column(
+        "_bucket", pa.array((h % buckets).astype(np.int64))
+    )
+
+
+def dedup_clusters(sf_dir: str) -> Dataset:
+    """Near-dup cluster assignment: hash-min connected components over the
+    exact-Jaccard pair graph, then the full dedup DECISION table
+    ``(doc_id, cluster_id, cluster_size, is_canonical)`` — cluster_id is
+    the component's min doc_id; the canonical doc is the one kept.
+
+    Scale shape: the ITERATION runs only over nodes that appear in a pair
+    (rare by LSH construction), never over the corpus — each hash-min round
+    is two bucketed exchanges of (node, label) ints.  Hash-min converges in
+    O(component diameter) rounds (near-dup clusters are shallow; capped at
+    CC_MAX_ROUNDS), detected by the monotone label-sum fixpoint.  Singleton
+    documents join only at the END: one exchange over (doc_id) ints
+    coalesces missing labels to self, one more attaches per-cluster sizes.
+    The SQL oracle re-derives the same components with a recursive
+    transitive closure (oracle.DEDUP_CLUSTERS)."""
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    pairs = _jaccard_pairs(sf_dir)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        fwd = pa.table(
+            {
+                "node": t.column("doc_a"),
+                "lbl": pa.nulls(n, pa.int64()),
+                "dst": t.column("doc_b"),
+            },
+            schema=_CC_SCHEMA,
+        )
+        rev = pa.table(
+            {
+                "node": t.column("doc_b"),
+                "lbl": pa.nulls(n, pa.int64()),
+                "dst": t.column("doc_a"),
+            },
+            schema=_CC_SCHEMA,
+        )
+        return pa.concat_tables([fwd, rev])
+
+    # the pair graph is tiny relative to the corpus: materialize once so
+    # every CC round reuses it instead of re-running the LSH+verify chain
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    labels = None
+    if edges.count():
+        # round 0: lbl(node) = min(node, neighbors) in one grouped-min
+        def init_rows(t: pa.Table) -> pa.Table:
+            nbr = pa.table({"node": t.column("node"), "lbl": t.column("dst")})
+            self_ = pa.table({"node": t.column("node"), "lbl": t.column("node")})
+            return pa.concat_tables([nbr, self_])
+
+        def as_lbl(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t.column("node"), "lbl": t.column("min_lbl")}
+            )
+
+        labels = (
+            grouped(
+                edges.map_batches(init_rows, batch_format="pyarrow"),
+                GroupSpec(keys=("node",), count=False, min_cols=("lbl",)),
+            )
+            .map_batches(as_lbl, batch_format="pyarrow")
+            .materialize()
+        )
+        lbl_sum = labels.sum("lbl")
+
+        def tag_labels(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "lbl": t.column("lbl"),
+                    "dst": pa.array(
+                        np.full(t.num_rows, -1, dtype=np.int64)
+                    ),
+                },
+                schema=_CC_SCHEMA,
+            )
+
+        def propagate(group: pa.Table) -> pa.Table:
+            is_lab = pc.equal(group.column("dst"), -1)
+            lab = group.filter(is_lab)
+            ed = group.filter(pc.invert(is_lab))
+            idx = pc.index_in(ed.column("node"), value_set=lab.column("node"))
+            return pa.concat_tables(
+                [
+                    pa.table(
+                        {"node": lab.column("node"), "lbl": lab.column("lbl")}
+                    ),
+                    pa.table(
+                        {
+                            "node": ed.column("dst"),
+                            "lbl": pc.take(lab.column("lbl"), idx),
+                        }
+                    ),
+                ]
+            )
+
+        for _ in range(CC_MAX_ROUNDS):
+            msgs = (
+                labels.map_batches(tag_labels, batch_format="pyarrow")
+                .union(edges)
+                .map_batches(
+                    _bucket_on,
+                    fn_kwargs={"col": "node", "buckets": buckets},
+                    batch_format="pyarrow",
+                )
+                .groupby("_bucket")
+                .map_groups(
+                    lambda g: propagate(g.drop_columns(["_bucket"])),
+                    batch_format="pyarrow",
+                )
+            )
+            labels = (
+                grouped(
+                    msgs,
+                    GroupSpec(keys=("node",), count=False, min_cols=("lbl",)),
+                )
+                .map_batches(as_lbl, batch_format="pyarrow")
+                .materialize()
+            )
+            new_sum = labels.sum("lbl")
+            if new_sum == lbl_sum:  # labels are monotone ⇒ sum fixpoint = CC
+                break
+            lbl_sum = new_sum
+
+    # decision table over ALL docs: coalesce missing labels to self …
+    docs = read_documents(sf_dir, ["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lbl": pa.nulls(t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if labels is not None:
+        docs = docs.union(
+            labels.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t.column("node"), "lbl": t.column("lbl")}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def coalesce_self(group: pa.Table) -> pa.Table:
+        g = group.group_by(["doc_id"]).aggregate([("lbl", "min")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "cluster_id": pc.coalesce(
+                    g.column("lbl_min"), g.column("doc_id")
+                ),
+            }
+        )
+
+    assigned = (
+        docs.map_batches(
+            _bucket_on,
+            fn_kwargs={"col": "doc_id", "buckets": buckets},
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: coalesce_self(g.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    # … then co-locate each cluster to attach its size (second exchange)
+    def attach_size(group: pa.Table) -> pa.Table:
+        sz = group.group_by(["cluster_id"]).aggregate([("cluster_id", "count")])
+        idx = pc.index_in(
+            group.column("cluster_id"), value_set=sz.column("cluster_id")
+        )
+        size = pc.take(
+            pc.cast(sz.column("cluster_id_count"), pa.int64()), idx
+        )
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id"),
+                "cluster_id": group.column("cluster_id"),
+                "cluster_size": size,
+                "is_canonical": pc.equal(
+                    group.column("doc_id"), group.column("cluster_id")
+                ),
+            }
+        )
+
+    return (
+        assigned.map_batches(
+            _bucket_on,
+            fn_kwargs={"col": "cluster_id", "buckets": buckets},
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: attach_size(g.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+        .sort(["doc_id"])
     )

@@ -341,21 +341,24 @@ def route_aggregate(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        mat = (
-            ds.map_batches(
-                _write_and_partial,
-                fn_kwargs={"data_dir": data_dir, "plan": plan},
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .map_batches(
-                _combine_partials,
-                fn_kwargs={"spec": plan.union_spec},
-                batch_format="pyarrow",
-                batch_size=COMPACT_BATCH,
-            )
-            .materialize()  # drives the fused write+partial scan
-        )
+        # the write+partial stage MUST stay block-aligned (one task per input
+        # shard): chaining the COMPACT_BATCH-sized combine directly onto it
+        # would FUSE, and Ray then feeds the whole chain 2M-row batches —
+        # 30M rows collapse to ~15 tasks and the read unfuses (measured 62 s
+        # vs 17 s at 16 cpus).  So: materialize the per-block partials (tiny
+        # — blocks × groups rows), then compact them in a separate cheap job.
+        raw = ds.map_batches(
+            _write_and_partial,
+            fn_kwargs={"data_dir": data_dir, "plan": plan},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()  # drives the fused read→parse→enrich→write scan
+        mat = raw.map_batches(
+            _combine_partials,
+            fn_kwargs={"spec": plan.union_spec},
+            batch_format="pyarrow",
+            batch_size=COMPACT_BATCH,
+        ).materialize()
         partial_mats.append(mat)
         wall = time.monotonic() - t0
         commit_time = time.time()
