@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data operators (documents / embeddings / events) ---
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
+        "ngram_topk": text.ngram_topk,  # vocabulary head: bigram cnt + df
+        "stratified_sample": text.stratified_sample,  # per-lang rate gate
         "rolling_fingerprints": text.rolling_fingerprints,
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
@@ -127,6 +129,8 @@ def oracle_sql() -> dict[str, str]:
         # has a full SQL oracle, including the ANN family (see below)
         "token_counts": oracle.TOKEN_COUNTS,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
+        "ngram_topk": oracle.NGRAM_TOPK,
+        "stratified_sample": oracle.STRATIFIED_SAMPLE,
         "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
         "quality_scores": oracle.QUALITY_SCORES,
         "lang_id": oracle.LANG_ID,

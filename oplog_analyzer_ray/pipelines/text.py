@@ -201,6 +201,136 @@ def doc_fingerprints(sf_dir: str) -> Dataset:
     )
 
 
+# --------------------------------------------------------- n-gram vocabulary
+# corpus-wide top-K word bigrams — the vocabulary-building step of a
+# training-data pipeline (count every n-gram once across 100 TB, keep the
+# head of the distribution).
+NGRAM_TOPK_K = 100
+
+
+def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK_K) -> Dataset:
+    """Top-K word bigrams with global occurrence count (``cnt``) and
+    document frequency (``df``), ordered (cnt desc, ngram asc).
+
+    Scale shape: each batch collapses to one (ngram, cnt, df) partial row
+    per DISTINCT bigram in the batch (vectorized flatten + shift, one arrow
+    ``group_by``), so the keyed exchange moves vocabulary-sized partials,
+    never corpus-sized token streams; ``df`` partials sum exactly because a
+    document's rows never span batches.  The final merge is
+    :func:`~.agg.grouped` (hash-bucketed, cluster-width) and
+    :func:`~.agg.topk` prunes to K per block before the tiny global sort —
+    only blocks × K rows reach the final head regardless of corpus size.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .agg import GroupSpec, grouped, topk
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "ngram": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for t in toks:
+            flat[pos : pos + len(t)] = t
+            pos += len(t)
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        # a bigram is valid where token i and i+1 belong to the same doc
+        valid = doc_idx[:-1] == doc_idx[1:]
+        grams = flat[:-1][valid] + " " + flat[1:][valid]  # elementwise concat
+        docs = df["doc_id"].to_numpy()[doc_idx[:-1][valid]]
+        t = pa.table(
+            {"ngram": pa.array(grams, pa.string()), "doc_id": pa.array(docs)}
+        )
+        occ = t.group_by(["ngram"]).aggregate([("doc_id", "count")])
+        dfreq = (
+            t.group_by(["ngram", "doc_id"])
+            .aggregate([])
+            .group_by(["ngram"])
+            .aggregate([("doc_id", "count")])
+        )
+        # occ and dfreq have identical key sets (distinct ngrams this batch)
+        idx = pc.index_in(occ.column("ngram"), value_set=dfreq.column("ngram"))
+        return pa.table(
+            {
+                "ngram": occ.column("ngram"),
+                "cnt": pc.cast(occ.column("doc_id_count"), pa.int64()),
+                "df": pc.cast(
+                    pc.take(dfreq.column("doc_id_count"), idx), pa.int64()
+                ),
+            }
+        )
+
+    partials = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    merged = grouped(
+        partials,
+        GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt", "df")),
+    ).map_batches(
+        lambda t: t.select(["ngram", "sum_cnt", "sum_df"]).rename_columns(
+            ["ngram", "cnt", "df"]
+        ),
+        batch_format="pyarrow",
+    )
+    return topk(merged, k, [("cnt", "descending"), ("ngram", "ascending")])
+
+
+# -------------------------------------------------------- stratified sample
+# per-language keep-rates in permille: corpus curation re-balances languages
+# by downsampling the over-represented ones.  Unlisted languages use the
+# default.  The gate is a deterministic content-free hash of doc_id, so the
+# sample is reproducible, join-free, and each task decides membership alone.
+STRATA_PERMILLE = {"en": 400, "de": 300, "es": 200, "fr": 100}
+STRATA_DEFAULT_PERMILLE = 50
+
+
+def stratified_sample(sf_dir: str) -> Dataset:
+    """Deterministic per-language stratified sample of the documents table.
+
+    Membership: ``md5(str(doc_id))`` first 8 hex chars as an integer,
+    mod 1000, kept iff below the language's permille rate.  Embarrassingly
+    parallel — no shuffle, no state, no driver participation: the same row
+    is kept on every run and on every cluster size, which is what makes the
+    sample auditable (the SQL oracle re-derives the identical gate)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            _md5_series(df["doc_id"].astype(str))
+            .str.slice(0, 8)
+            .map(lambda s: int(s, 16))
+            .astype("int64")
+            % 1000
+        )
+        rate = (
+            df["lang"]
+            .map(STRATA_PERMILLE)
+            .fillna(STRATA_DEFAULT_PERMILLE)
+            .astype("int64")
+        )
+        keep = h < rate
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"][keep],
+                "lang": df["lang"][keep],
+                "hash_permille": h[keep],
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pandas"
+    ).sort(["doc_id"])
+
+
 # ------------------------------------------------------------ BPE-ish tokens
 # RE2-safe token classes shared verbatim with the DuckDB oracle: letter runs,
 # digit runs, single non-alnum-non-space marks, whitespace runs — the

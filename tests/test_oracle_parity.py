@@ -46,6 +46,8 @@ _TRANSCRIPT_BODIES = {
 _TABLE_SQL = {
     "token_counts": oracle.TOKEN_COUNTS,
     "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
+    "ngram_topk": oracle.NGRAM_TOPK,
+    "stratified_sample": oracle.STRATIFIED_SAMPLE,
     "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
     "quality_scores": oracle.QUALITY_SCORES,
     "lang_id": oracle.LANG_ID,
