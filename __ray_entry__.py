@@ -15,7 +15,15 @@ from collections.abc import Callable
 from typing import Any
 
 from oplog_analyzer_ray import oracle
-from oplog_analyzer_ray.pipelines import analyze, core, dedup, sample, similarity, text
+from oplog_analyzer_ray.pipelines import (
+    analyze,
+    core,
+    curate,
+    dedup,
+    sample,
+    similarity,
+    text,
+)
 from oplog_analyzer_ray.pipelines import events as ev
 from oplog_analyzer_ray.stages.media import (
     media_features,
@@ -76,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "dedup_clusters": dedup.dedup_clusters,  # CC over the near-dup graph
+        # flagship compose: dedup-canonical ∩ quality ∩ stratified gate
+        "curated_corpus": curate.curated_corpus,
         "simhash64": dedup.simhash64,
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,  # approximate; no SQL oracle
@@ -141,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "dedup_clusters": oracle.DEDUP_CLUSTERS,
+        "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
         # round-3: the ANN index artifacts (seeded hyperplanes / deterministic

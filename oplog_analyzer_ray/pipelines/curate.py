@@ -1,0 +1,117 @@
+"""End-to-end training-corpus curation (beyond-reference flagship compose).
+
+The decision pipeline a real LLM-data curation run executes over 100 TB:
+
+1. near-dup DEDUP — keep only the canonical representative of each
+   duplicate cluster (``dedup.dedup_decision``: LSH candidates → exact
+   Jaccard verify → hash-min connected components);
+2. QUALITY filter — composite heuristic ≥ ``MIN_QUALITY`` (same formula as
+   ``text.quality_scores``);
+3. stratified LANGUAGE re-balancing — the deterministic per-language
+   permille gate of ``text.stratified_sample``.
+
+Scale shape: quality + strata are evaluated in the SAME single pass over
+the documents scan (no extra corpus read per criterion), each side is
+PRE-FILTERED before the join so only surviving (doc_id, small-int) rows
+enter the one doc_id-bucketed exchange that intersects them.  Nothing
+driver-side; no corpus-sized sort (the report sort runs over the curated
+survivors only).
+
+The SQL oracle (oracle.CURATED_CORPUS) re-derives all three criteria and
+the join in one statement; parity is pinned at sf0.001 (pytest) and sf0.01
+(driver).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from .agg import MERGE_BUCKETS, dyn_buckets
+from .dedup import _bucket_on, dedup_decision
+from .text import _trunc6, quality_components, read_documents, strata_gate
+
+# composite-quality keep threshold (compared on the 6dp-truncated value so
+# both engines gate on bit-identical numbers)
+MIN_QUALITY = 0.5
+
+
+def curated_corpus(sf_dir: str) -> Dataset:
+    """The curated-corpus decision table: one row per KEPT document —
+    ``(doc_id, lang, quality, cluster_size)``, sorted by doc_id."""
+    buckets = dyn_buckets(MERGE_BUCKETS)
+
+    # side A: canonical docs only (pre-filtered before the exchange)
+    def canon(t: pa.Table) -> pa.Table:
+        k = t.filter(t.column("is_canonical"))
+        return pa.table(
+            {
+                "doc_id": k.column("doc_id"),
+                "cluster_size": k.column("cluster_size"),
+                "lang": pa.nulls(k.num_rows, pa.string()),
+                "quality": pa.nulls(k.num_rows, pa.float64()),
+                "_side": pa.array([0] * k.num_rows, pa.int8()),
+            }
+        )
+
+    side_a = dedup_decision(sf_dir).map_batches(canon, batch_format="pyarrow")
+
+    # side B: quality + strata survivors from ONE documents pass
+    def qual_strata(df: pd.DataFrame) -> pd.DataFrame:
+        quality = _trunc6(quality_components(df)["quality"])
+        _, in_strata = strata_gate(df)
+        keep = (quality >= MIN_QUALITY) & in_strata
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"][keep],
+                "cluster_size": pd.Series(
+                    pd.NA, index=df.index, dtype="Int64"
+                )[keep],
+                "lang": df["lang"][keep],
+                "quality": quality[keep],
+            }
+        )
+        out["_side"] = pd.Series(1, index=out.index, dtype="int8")
+        return out
+
+    side_b = read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
+        qual_strata, batch_format="pandas"
+    )
+
+    # inner join on doc_id: one bucketed exchange of the two pre-filtered
+    # survivor sets, vectorized index_in intersection per bucket
+    def join(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group.column("_side"), 0)
+        a = group.filter(is_a)
+        b = group.filter(pc.invert(is_a))
+        idx = pc.index_in(b.column("doc_id"), value_set=a.column("doc_id"))
+        hit = pc.is_valid(idx)
+        b = b.filter(hit)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "quality": b.column("quality"),
+                "cluster_size": pc.take(
+                    a.column("cluster_size"), pc.filter(idx, hit)
+                ),
+            }
+        )
+
+    return (
+        side_a.union(side_b)
+        .map_batches(
+            _bucket_on,
+            fn_kwargs={"col": "doc_id", "buckets": buckets},
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: join(g.drop_columns(["_bucket"])),
+            batch_format="pyarrow",
+        )
+        .sort(["doc_id"])
+    )

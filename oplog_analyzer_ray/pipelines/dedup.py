@@ -571,6 +571,13 @@ def _bucket_on(t: pa.Table, col: str, buckets: int) -> pa.Table:
 
 
 def dedup_clusters(sf_dir: str) -> Dataset:
+    """Sorted report surface of :func:`dedup_decision` (the unsorted table
+    feeds :func:`~oplog_analyzer_ray.pipelines.curate.curated_corpus`
+    without paying the range-partition)."""
+    return dedup_decision(sf_dir).sort(["doc_id"])
+
+
+def dedup_decision(sf_dir: str) -> Dataset:
     """Near-dup cluster assignment: hash-min connected components over the
     exact-Jaccard pair graph, then the full dedup DECISION table
     ``(doc_id, cluster_id, cluster_size, is_canonical)`` — cluster_id is
@@ -769,5 +776,4 @@ def dedup_clusters(sf_dir: str) -> Dataset:
             lambda g: attach_size(g.drop_columns(["_bucket"])),
             batch_format="pyarrow",
         )
-        .sort(["doc_id"])
     )

@@ -115,40 +115,52 @@ def token_counts(sf_dir: str) -> Dataset:
 QUAL_LEN_SAT = 64.0
 
 
+def quality_components(df: pd.DataFrame) -> dict:
+    """The four quality terms + untruncated composite for one batch of
+    documents (shared by :func:`quality_scores` and
+    :mod:`~oplog_analyzer_ray.pipelines.curate`)."""
+    stop = {"the", "a"}
+    toks = df["text"].str.split(" ")
+    n = toks.str.len().astype("float64")
+    stop_hits = toks.map(lambda t: sum(1 for x in t if x in stop))
+    uniq = toks.map(lambda t: len(set(t))).astype("float64")
+    stop_ratio = stop_hits / n
+    uniq_ratio = uniq / n
+    n_chars = df["text"].str.len().astype("float64")
+    punct = df["text"].str.count(r"[^A-Za-z0-9 ]").astype("float64")
+    # empty doc: no chars → punctuation density defined as 0.0 (the SQL
+    # mirrors with COALESCE; numpy 0/0=NaN vs DuckDB /0=NULL otherwise)
+    punct_ratio = np.where(n_chars > 0, punct / np.maximum(n_chars, 1.0), 0.0)
+    len_score = np.minimum(n / QUAL_LEN_SAT, 1.0)
+    quality = 0.25 * (
+        uniq_ratio + (1.0 - stop_ratio) + (1.0 - punct_ratio) + len_score
+    )
+    return {
+        "stop_ratio": stop_ratio,
+        "uniq_ratio": uniq_ratio,
+        "punct_ratio": punct_ratio,
+        "len_score": len_score,
+        "quality": quality,
+    }
+
+
 def quality_scores(sf_dir: str) -> Dataset:
     """Composite document-quality heuristic (0..1, higher = better):
     stopword ratio, type/token (uniqueness) ratio, punctuation density
     (non-alnum-non-space chars per char) and a saturating length score
     (n_tokens/64 capped at 1).  Composite = mean of the four goodness
     terms; every component is mirrored bit-exactly in SQL."""
-    stop = {"the", "a"}
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        n = toks.str.len().astype("float64")
-        stop_hits = toks.map(lambda t: sum(1 for x in t if x in stop))
-        uniq = toks.map(lambda t: len(set(t))).astype("float64")
-        stop_ratio = stop_hits / n
-        uniq_ratio = uniq / n
-        n_chars = df["text"].str.len().astype("float64")
-        punct = df["text"].str.count(r"[^A-Za-z0-9 ]").astype("float64")
-        # empty doc: no chars → punctuation density defined as 0.0 (the SQL
-        # mirrors with COALESCE; numpy 0/0=NaN vs DuckDB /0=NULL otherwise)
-        punct_ratio = np.where(
-            n_chars > 0, punct / np.maximum(n_chars, 1.0), 0.0
-        )
-        len_score = np.minimum(n / QUAL_LEN_SAT, 1.0)
-        quality = 0.25 * (
-            uniq_ratio + (1.0 - stop_ratio) + (1.0 - punct_ratio) + len_score
-        )
+        c = quality_components(df)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "stopword_ratio": _trunc6(stop_ratio),
-                "uniq_ratio": _trunc6(uniq_ratio),
-                "punct_ratio": _trunc6(punct_ratio),
-                "length_score": _trunc6(len_score),
-                "quality": _trunc6(quality),
+                "stopword_ratio": _trunc6(c["stop_ratio"]),
+                "uniq_ratio": _trunc6(c["uniq_ratio"]),
+                "punct_ratio": _trunc6(c["punct_ratio"]),
+                "length_score": _trunc6(c["len_score"]),
+                "quality": _trunc6(c["quality"]),
             }
         )
 
@@ -294,6 +306,26 @@ STRATA_PERMILLE = {"en": 400, "de": 300, "es": 200, "fr": 100}
 STRATA_DEFAULT_PERMILLE = 50
 
 
+def strata_gate(df: pd.DataFrame) -> tuple[pd.Series, pd.Series]:
+    """(hash_permille, keep) for the deterministic per-language sample gate
+    (shared by :func:`stratified_sample` and
+    :mod:`~oplog_analyzer_ray.pipelines.curate`)."""
+    h = (
+        _md5_series(df["doc_id"].astype(str))
+        .str.slice(0, 8)
+        .map(lambda s: int(s, 16))
+        .astype("int64")
+        % 1000
+    )
+    rate = (
+        df["lang"]
+        .map(STRATA_PERMILLE)
+        .fillna(STRATA_DEFAULT_PERMILLE)
+        .astype("int64")
+    )
+    return h, h < rate
+
+
 def stratified_sample(sf_dir: str) -> Dataset:
     """Deterministic per-language stratified sample of the documents table.
 
@@ -304,20 +336,7 @@ def stratified_sample(sf_dir: str) -> Dataset:
     sample auditable (the SQL oracle re-derives the identical gate)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        h = (
-            _md5_series(df["doc_id"].astype(str))
-            .str.slice(0, 8)
-            .map(lambda s: int(s, 16))
-            .astype("int64")
-            % 1000
-        )
-        rate = (
-            df["lang"]
-            .map(STRATA_PERMILLE)
-            .fillna(STRATA_DEFAULT_PERMILLE)
-            .astype("int64")
-        )
-        keep = h < rate
+        h, keep = strata_gate(df)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"][keep],
