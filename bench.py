@@ -153,7 +153,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         # table-backed training-data ops: only where the sf dir ships the
         # side tables (the transcript-only sf5/sf10 corpora don't)
         if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+            from oplog_analyzer_ray.pipelines import curate
+
             extra["near_dup_jaccard"] = dedup.near_dup_jaccard
+            extra["curated_corpus"] = curate.curated_corpus
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce
         if os.path.exists(os.path.join(sf_dir, "events.parquet")):
@@ -228,6 +231,10 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-reps", type=int, default=2,
+                    help="interleaved runs per cpu level (each child is "
+                         "itself best-of-2, so reps=N gives best-of-2N); "
+                         "raise on noisy boxes")
     ap.add_argument("--scaling-cpus", default="4,16",
                     help="small,big cpu counts for --scaling (N vs 4N). "
                          "Default 4,16: this box's shared memory bandwidth "
@@ -243,7 +250,7 @@ def main() -> None:
         from oplog_analyzer_ray.synth import ensure_transcripts
 
         ensure_transcripts(args.sf_dir)
-        result = run_scaling(args.sf_dir, small, big)
+        result = run_scaling(args.sf_dir, small, big, reps=args.scaling_reps)
     else:
         result = run_bench(args.sf_dir, args.cpus, args.headline_only)
     print(json.dumps(result))

@@ -556,6 +556,43 @@ def simhash64(sf_dir: str) -> Dataset:
 # document per duplicate cluster, drop the rest.
 CC_MAX_ROUNDS = 64
 
+# small-side coalesce for the CC iteration: at or below this many (directed)
+# edges the whole component solve runs in ONE vectorized numpy task (~16 B
+# per edge → ≤80 MB) instead of paying 2 bucketed exchanges per hash-min
+# round — the same adaptive-plan idea as agg.SMALL_MERGE_ROWS.  Above it,
+# the distributed rounds run (equality pinned by test_dedup_similarity).
+CC_LOCAL_EDGES = 5_000_000
+
+
+@ray.remote
+def _cc_local_task(*edge_blocks: pa.Table) -> pa.Table:
+    """Exact hash-min CC of the whole (small) edge set in one task: dense
+    node indexing via np.unique, edge-relax ``np.minimum.at`` passes plus a
+    pointer-jump per pass (labels are node ids, so label chasing is a
+    searchsorted into the sorted node vector), until fixpoint."""
+    # empty blocks may ride through map_batches with the upstream schema —
+    # keep only real edge blocks (the caller guarantees >=1 edge overall)
+    parts = [
+        blk.select(["node", "dst"])
+        for blk in edge_blocks
+        if {"node", "dst"}.issubset(blk.column_names) and blk.num_rows
+    ]
+    t = pa.concat_tables(parts)
+    a = t.column("node").to_numpy(zero_copy_only=False)
+    b = t.column("dst").to_numpy(zero_copy_only=False)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lbl = nodes.copy()
+    for _ in range(CC_MAX_ROUNDS):
+        prev = lbl.copy()
+        np.minimum.at(lbl, ia, lbl[ib])
+        # pointer jump: labels are node ids → chase one level
+        lbl = np.minimum(lbl, lbl[np.searchsorted(nodes, lbl)])
+        if np.array_equal(lbl, prev):
+            break
+    return pa.table({"node": pa.array(nodes), "lbl": pa.array(lbl)})
+
 _CC_SCHEMA = pa.schema(
     [("node", pa.int64()), ("lbl", pa.int64()), ("dst", pa.int64())]
 )
@@ -620,7 +657,13 @@ def dedup_decision(sf_dir: str) -> Dataset:
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
     labels = None
-    if edges.count():
+    n_edges = edges.count()
+    if 0 < n_edges <= CC_LOCAL_EDGES:
+        # small-side coalesce: one vectorized task solves the whole graph
+        labels = ray.data.from_arrow_refs(
+            [_cc_local_task.remote(*edges.to_arrow_refs())]
+        ).materialize()
+    elif n_edges:
         # round 0: lbl(node) = min(node, neighbors) in one grouped-min
         def init_rows(t: pa.Table) -> pa.Table:
             nbr = pa.table({"node": t.column("node"), "lbl": t.column("dst")})

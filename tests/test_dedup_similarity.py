@@ -342,3 +342,21 @@ def test_ivf_sample_read_is_bounded(tmp_path):
     cents = _ivf_centroids(str(tmp_path))
     assert cents.shape == (IVF_CENTROIDS, dim)
     assert np.isfinite(cents).all()
+
+
+def test_cc_distributed_rounds_equal_local_solve(monkeypatch):
+    """dedup_decision's two CC plans — the one-task numpy solve (small edge
+    sets) and the bucketed hash-min rounds (the 100 TB path) — produce the
+    identical decision table."""
+    import oplog_analyzer_ray.pipelines.dedup as dmod
+
+    local = (
+        dmod.dedup_clusters(SF_DIR).to_pandas().reset_index(drop=True)
+    )
+    monkeypatch.setattr(dmod, "CC_LOCAL_EDGES", 0)  # force distributed
+    dist = dmod.dedup_clusters(SF_DIR).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(local, dist)
+    assert (local["cluster_size"] >= 1).all()
+    assert local.loc[local["is_canonical"], "doc_id"].equals(
+        local.loc[local["is_canonical"], "cluster_id"]
+    )

@@ -109,3 +109,44 @@ def test_tail_new_files_processed_incrementally(tmp_path, duck):
     assert len(m2.finished()) == len(shards)
     assert m2.watermark() > wm1  # watermark advanced, no gap lost
     assert m2.sink_totals() == _oracle_sink_counts(duck)
+
+
+def test_tail_follow_longpoll_picks_up_midstream_shard(tmp_path, duck):
+    """S2/§2.10 TailableAwait graft: tail_follow() blocks in a long-poll
+    loop and ingests a shard that lands WHILE it is polling (written by a
+    concurrent producer thread), then exits after idle_polls quiet polls
+    with the full corpus committed."""
+    import shutil as _sh
+    import threading
+    import time as _time
+
+    from oplog_analyzer_ray.synth import ensure_transcripts
+
+    src = ensure_transcripts(SF_DIR)
+    live_src = tmp_path / "live_src"
+    live_src.mkdir()
+    shards = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+    for p in shards[:-1]:
+        _sh.copy(os.path.join(src, p), live_src / p)
+
+    def producer():
+        _time.sleep(0.8)  # land mid-poll, after the first route pass
+        _sh.copy(os.path.join(src, shards[-1]), live_src / shards[-1])
+
+    out_root = str(tmp_path / "routed")
+    import oplog_analyzer_ray.pipelines.route as route_mod
+
+    orig = route_mod.ensure_transcripts
+    route_mod.ensure_transcripts = lambda _sf: str(live_src)
+    t = threading.Thread(target=producer)
+    t.start()
+    try:
+        m = route_mod.tail_follow(
+            SF_DIR, out_root, poll_secs=0.3, idle_polls=3, max_polls=40
+        )
+    finally:
+        t.join()
+        route_mod.ensure_transcripts = orig
+
+    assert len(m.finished()) == len(shards)
+    assert m.sink_totals() == _oracle_sink_counts(duck)
