@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate scale path; recall vs exact pinned in tests (rows-only)
         "embedding_near_dups_lsh": similarity.embedding_near_dups_lsh,
         "sessionization": ev.sessionization,
+        "purchase_attribution": ev.purchase_attribution,  # as-of join
         "tumbling_window": ev.tumbling_window,
         "sliding_window": ev.sliding_window,
         "media_features": media_features,  # codec stubbed; plumbing real
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
             _ORACLE_SF_DIR
         ),
         "sessionization": oracle.SESSIONIZATION,
+        "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,

@@ -122,6 +122,69 @@ def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     )
 
 
+def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
+    """AS-OF JOIN (custom operator — Ray Data has none): each ``purchase``
+    event is attributed to the same user's most recent ``click`` at or
+    before the purchase timestamp; purchases with no prior click keep
+    nulls (left as-of semantics).
+
+    Implementation: both sides filter at the scan, hash-bucket on user_id
+    (one exchange of only the two event types involved), then a vectorized
+    C-level ``pandas.merge_asof(by=user_id, on=ts, direction=backward)``
+    per bucket.  The partitioning assumption (one user's events fit one
+    task) matches sessionization's and is the standard as-of shape.  The
+    DuckDB oracle is a native ``ASOF LEFT JOIN``."""
+    buckets = n_buckets or session_buckets(sf_dir)
+
+    def pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "click"))].copy()
+        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        df["_bucket"] = (h % buckets).astype("int64")
+        return df
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            df[df["event_type"] == "purchase"]
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        c = (
+            df[df["event_type"] == "click"]
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        j = pd.merge_asof(
+            p[["event_id", "user_id", "ts", "value"]],
+            c[["user_id", "ts", "event_id"]].rename(
+                columns={"ts": "click_ts", "event_id": "click_event_id"}
+            ),
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        # unattributed purchases: -1 sentinel (the reference's unknown-size
+        # idiom, TailCommand.java:176-181) — keeps the numeric columns
+        # non-null int64, which the driver's dtype-sensitive hash needs
+        j["click_event_id"] = j["click_event_id"].fillna(-1).astype("int64")
+        gap = (j["ts"] - j["click_ts"]) // pd.Timedelta(microseconds=1)
+        j["gap_us"] = pd.Series(gap, index=j.index).fillna(-1).astype("int64")
+        return j
+
+    ev = read_events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return (
+        ev.map_batches(pick_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: asof(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+        .sort(["event_id"])
+    )
+
+
 def tumbling_window(sf_dir: str) -> Dataset:
     """Per-(event_type, day) tumbling-window counts and value sums."""
 

@@ -62,6 +62,7 @@ _TABLE_SQL = {
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
     "sessionization": oracle.SESSIONIZATION,
+    "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "sliding_window": oracle.SLIDING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
