@@ -7,6 +7,7 @@ the library itself never calls ray.init, per the driver contract).
 
 Usage:
   python -m oplog_analyzer_ray route   --sf-dir DIR --out OUT [--units-per-commit N] [--shard-index 0,2]
+  python -m oplog_analyzer_ray tail    --sf-dir DIR --out OUT [--poll-secs S] [--idle-polls N]
   python -m oplog_analyzer_ray report  --sf-dir DIR [--top N]
   python -m oplog_analyzer_ray analyze --sf-dir DIR
   python -m oplog_analyzer_ray sample  --sf-dir DIR [--k N]
@@ -57,6 +58,22 @@ def cmd_route(args) -> None:
           f"{len(manifest.finished())} partitions -> {args.out}")
     for sink, n in sorted(totals.items()):
         print(f"  {sink:<10} {n}")
+    print(f"watermark: {manifest.watermark()}")
+
+
+def cmd_tail(args) -> None:
+    from .pipelines.route import tail_follow
+
+    manifest = tail_follow(
+        args.sf_dir,
+        args.out,
+        poll_secs=args.poll_secs,
+        idle_polls=args.idle_polls,
+        max_polls=args.max_polls,
+    )
+    totals = manifest.sink_totals()
+    print(f"tailed {sum(totals.values())} events over "
+          f"{len(manifest.finished())} partitions -> {args.out}")
     print(f"watermark: {manifest.watermark()}")
 
 
@@ -197,6 +214,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="ISO-8601 time-range seek pushed into the scan "
                         "(the --startTs graft)")
     p.set_defaults(fn=cmd_route)
+
+    p = sub.add_parser("tail")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--poll-secs", type=float, default=1.0,
+                   help="sleep between polls (TailableAwait timeout graft)")
+    p.add_argument("--idle-polls", type=int, default=3,
+                   help="exit after this many consecutive quiet polls")
+    p.add_argument("--max-polls", type=int, default=None,
+                   help="hard poll cap (None = run until idle)")
+    p.set_defaults(fn=cmd_tail)
 
     p = sub.add_parser("report")
     p.add_argument("--sf-dir", required=True)

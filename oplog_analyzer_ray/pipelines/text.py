@@ -87,14 +87,29 @@ def _md5_series(s: pd.Series) -> pd.Series:
     return s.map(lambda x: hashlib.md5(x.encode()).hexdigest())
 
 
+def _exploded_tokens(df: pd.DataFrame):
+    """(tokens-series, n_tokens, exploded) — the C-level whitespace token
+    pipeline shared by token_counts / quality / lang_id.  ``exploded`` is
+    one row per token indexed by the source row, so per-doc reductions are
+    a single ``groupby(level=0)`` (no Python per-row lambdas; every sum is
+    over integers, so results are bit-identical to the per-row form)."""
+    toks = df["text"].str.split(" ")
+    n = toks.str.len().astype("int64")
+    return toks, n, toks.explode()
+
+
 def token_counts(sf_dir: str) -> Dataset:
     """Whitespace token counting + char stats per document."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        n = toks.str.len().astype("int64")
-        uniq = toks.map(lambda t: len(set(t))).astype("int64")
-        avg_len = toks.map(lambda t: float(np.mean([len(x) for x in t])))
+        _, n, ex = _exploded_tokens(df)
+        uniq = (
+            ex.groupby(level=0).nunique().reindex(df.index).astype("int64")
+        )
+        # token-length sums are integers < 2^53 → the float division is
+        # exact and order-independent (matches list_aggregate(...,'avg'))
+        len_sum = ex.str.len().groupby(level=0).sum().reindex(df.index)
+        avg_len = len_sum.astype("float64") / n.astype("float64")
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -119,11 +134,13 @@ def quality_components(df: pd.DataFrame) -> dict:
     """The four quality terms + untruncated composite for one batch of
     documents (shared by :func:`quality_scores` and
     :mod:`~oplog_analyzer_ray.pipelines.curate`)."""
-    stop = {"the", "a"}
-    toks = df["text"].str.split(" ")
-    n = toks.str.len().astype("float64")
-    stop_hits = toks.map(lambda t: sum(1 for x in t if x in stop))
-    uniq = toks.map(lambda t: len(set(t))).astype("float64")
+    stop = ("the", "a")
+    _, n_i, ex = _exploded_tokens(df)
+    n = n_i.astype("float64")
+    stop_hits = ex.isin(stop).groupby(level=0).sum().reindex(df.index)
+    uniq = (
+        ex.groupby(level=0).nunique().reindex(df.index).astype("float64")
+    )
     stop_ratio = stop_hits / n
     uniq_ratio = uniq / n
     n_chars = df["text"].str.len().astype("float64")
@@ -175,11 +192,13 @@ def lang_id(sf_dir: str) -> Dataset:
     langs = sorted(LANG_MARKERS)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
+        _, _, ex = _exploded_tokens(df)
         hits = {
-            lang: toks.map(
-                lambda t, m=set(LANG_MARKERS[lang]): sum(1 for x in t if x in m)
-            ).astype("int64")
+            lang: ex.isin(LANG_MARKERS[lang])
+            .groupby(level=0)
+            .sum()
+            .reindex(df.index)
+            .astype("int64")
             for lang in langs
         }
         hm = pd.DataFrame(hits)
