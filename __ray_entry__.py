@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_docs": analyze.redacted_docs,  # M6 full redactor (token strip)
         # --- training-data operators (documents / embeddings / events) ---
         "token_counts": text.token_counts,
+        "decontaminate": text.decontaminate,  # eval n-gram overlap flagging
         "token_counts_bpe": text.token_counts_bpe,
         "ngram_topk": text.ngram_topk,  # vocabulary head: bigram cnt + df
         "stratified_sample": text.stratified_sample,  # per-lang rate gate
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         # training-data ops (documents/events/embeddings views) — every op
         # has a full SQL oracle, including the ANN family (see below)
         "token_counts": oracle.TOKEN_COUNTS,
+        "decontaminate": oracle.DECONTAMINATE,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
         "ngram_topk": oracle.NGRAM_TOPK,
         "stratified_sample": oracle.STRATIFIED_SAMPLE,

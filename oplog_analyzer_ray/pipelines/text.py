@@ -452,3 +452,93 @@ def rolling_fingerprints(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     ).sort(["doc_id"])
+
+
+# ----------------------------------------------------------- decontamination
+# Benchmark decontamination — the standard pre-training hygiene pass: flag
+# training documents that share any word n-gram with an evaluation set so
+# they can be dropped before training.  The eval side here is the first
+# DECON_EVAL_DOCS documents (a deterministic stand-in for an external
+# benchmark suite, which has the same tiny-corpus shape); real deployments
+# swap _eval_gram_set for a read of the benchmark files, nothing else moves.
+DECON_NGRAM = 5
+DECON_EVAL_DOCS = 20
+
+
+def _eval_gram_set(sf_dir: str) -> frozenset:
+    """Eval-side word n-gram set via a bounded predicate-pushdown read: only
+    row groups whose doc_id statistics overlap [0, DECON_EVAL_DOCS) are
+    decoded, never the corpus (same discipline as similarity's query
+    loader).  Benchmark suites are MB-scale, so the set broadcasts whole."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(documents_path(sf_dir)).to_table(
+        columns=["text"], filter=pads.field("doc_id") < DECON_EVAL_DOCS
+    )
+    grams: set[str] = set()
+    for text in t.column("text").to_pylist():
+        toks = text.split(" ")
+        for i in range(len(toks) - DECON_NGRAM + 1):
+            grams.add(" ".join(toks[i : i + DECON_NGRAM]))
+    return frozenset(grams)
+
+
+# per-worker cache: the broadcast gram set is ray.get-resolved once per
+# worker process, not once per batch (same pattern as enrich._TASK_CACHE)
+_DECON_CACHE: dict[int, frozenset] = {}
+
+
+def decontaminate(sf_dir: str) -> Dataset:
+    """(doc_id, eval_gram_hits, contaminated) for every non-eval document.
+
+    eval_gram_hits = number of DISTINCT word-DECON_NGRAM-grams the document
+    shares with the eval set; contaminated = 1 if any.  Scale shape: the
+    gram set is placed in the object store ONCE (``ray.put``) and resolved
+    once per worker; documents stream through a single vectorized
+    ``map_batches`` — n-grams are built with C-level kernels (explode +
+    per-doc shift + ``str.cat``) and membership is a single ``isin`` against
+    the broadcast set.  No shuffle; linear in corpus size like the rest of
+    this module."""
+    grams_ref = ray.put(_eval_gram_set(sf_dir))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = id(grams_ref)
+        grams = _DECON_CACHE.get(key)
+        if grams is None:
+            _DECON_CACHE.clear()  # at most one eval set per worker
+            grams = ray.get(grams_ref)
+            _DECON_CACHE[key] = grams
+        df = df[df["doc_id"] >= DECON_EVAL_DOCS]
+        toks = df["text"].str.split(" ")
+        ex = toks.explode()
+        # n-gram per token position: token ∥ next ∥ … ∥ next^{N-1}, via
+        # grouped shifts on a RangeIndex (str.cat aligns by index; the
+        # duplicated doc-row index would mis-align, so cat positionally and
+        # restore the doc index afterwards).  Positions whose window runs
+        # off the document end are NaN and drop out of the membership test.
+        base = ex.reset_index(drop=True)
+        shifted = [
+            ex.groupby(level=0).shift(-k).reset_index(drop=True)
+            for k in range(1, DECON_NGRAM)
+        ]
+        gram = base.str.cat(shifted, sep=" ")
+        gram.index = ex.index
+        hits = (
+            gram[gram.isin(grams)]
+            .groupby(level=0)
+            .nunique()
+            .reindex(df.index)
+            .fillna(0)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "eval_gram_hits": hits,
+                "contaminated": (hits > 0).astype("int64"),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

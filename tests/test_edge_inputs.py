@@ -133,3 +133,46 @@ def test_empty_doc_text_parity(tmp_path, duck):
     fp = rolling_fingerprints(str(tmp_path)).to_pandas()
     row = fp[fp.doc_id == 1].iloc[0]
     assert (row.min_whash, row.max_whash, row.distinct_windows) == (0, 0, 1)
+
+
+def test_decontaminate_tiny_corpus_parity(tmp_path, duck):
+    """Eval-overlap flagging on a corpus with an exact copy (3 shared
+    5-grams), a partial overlap (1), a short doc and an empty doc — and the
+    SQL oracle agrees on every row (short/empty docs produce no grams on
+    either side)."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import decontaminate
+    from .util import assert_frames_match
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 20, 21, 22, 23], pa.int64()),
+                "lang": pa.array(["en"] * 6),
+                "text": pa.array(
+                    [
+                        "a b c d e f g",      # eval: 3 distinct 5-grams
+                        "x y",                 # eval: too short, no grams
+                        "q b c d e f q",      # shares "b c d e f" -> 1 hit
+                        "a b c d e f g",      # exact copy -> 3 hits
+                        "p q r",               # short, clean
+                        "",                    # empty, clean
+                    ]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = decontaminate(str(tmp_path)).to_pandas().sort_values("doc_id")
+    want = duck.execute(oracle.DECONTAMINATE).fetchdf().sort_values("doc_id")
+    assert_frames_match(
+        got.reset_index(drop=True), want.reset_index(drop=True), "decontaminate"
+    )
+    hits = dict(zip(got.doc_id, got.eval_gram_hits))
+    assert hits == {20: 1, 21: 3, 22: 0, 23: 0}
+    flags = dict(zip(got.doc_id, got.contaminated))
+    assert flags == {20: 1, 21: 1, 22: 0, 23: 0}

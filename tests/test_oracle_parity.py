@@ -45,6 +45,7 @@ _TRANSCRIPT_BODIES = {
 
 _TABLE_SQL = {
     "token_counts": oracle.TOKEN_COUNTS,
+    "decontaminate": oracle.DECONTAMINATE,
     "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
     "ngram_topk": oracle.NGRAM_TOPK,
     "stratified_sample": oracle.STRATIFIED_SAMPLE,
