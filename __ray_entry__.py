@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data operators (documents / embeddings / events) ---
         "token_counts": text.token_counts,
         "decontaminate": text.decontaminate,  # eval n-gram overlap flagging
+        "repetition_scores": text.repetition_scores,  # Gopher repetition filters
         "token_counts_bpe": text.token_counts_bpe,
         "ngram_topk": text.ngram_topk,  # vocabulary head: bigram cnt + df
         "stratified_sample": text.stratified_sample,  # per-lang rate gate
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         # has a full SQL oracle, including the ANN family (see below)
         "token_counts": oracle.TOKEN_COUNTS,
         "decontaminate": oracle.DECONTAMINATE,
+        "repetition_scores": oracle.REPETITION_SCORES,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
         "ngram_topk": oracle.NGRAM_TOPK,
         "stratified_sample": oracle.STRATIFIED_SAMPLE,

@@ -542,3 +542,49 @@ def decontaminate(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def repetition_scores(sf_dir: str) -> Dataset:
+    """Within-document repetition stats (the Gopher-style repetition
+    filters): per doc, the word-2-gram count, the duplicated-2-gram
+    fraction (1 - distinct/total) and the most-frequent-2-gram fraction
+    (max count / total).  Highly repetitive machine-generated text scores
+    near 1 on both; clean prose near 0.  Single vectorized map_batches,
+    no shuffle; ratios are int/int divisions so parity with the SQL
+    oracle is bit-exact (then truncated to 6dp like every float here)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        ex = toks.explode()
+        nxt = ex.groupby(level=0).shift(-1).reset_index(drop=True)
+        gram = ex.reset_index(drop=True).str.cat(nxt, sep=" ")
+        gram.index = ex.index
+        g = gram.dropna()
+        total = g.groupby(level=0).size().reindex(df.index).fillna(0).astype("int64")
+        distinct = (
+            g.groupby(level=0).nunique().reindex(df.index).fillna(0).astype("int64")
+        )
+        top = (
+            g.groupby([g.index, g])
+            .size()
+            .groupby(level=0)
+            .max()
+            .reindex(df.index)
+            .fillna(0)
+            .astype("int64")
+        )
+        denom = total.astype("float64")
+        dup = ((total - distinct).astype("float64") / denom).fillna(0.0)
+        topf = (top.astype("float64") / denom).fillna(0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_2grams": total,
+                "dup_2gram_frac": _trunc6(dup),
+                "top_2gram_frac": _trunc6(topf),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -176,3 +176,44 @@ def test_decontaminate_tiny_corpus_parity(tmp_path, duck):
     assert hits == {20: 1, 21: 3, 22: 0, 23: 0}
     flags = dict(zip(got.doc_id, got.contaminated))
     assert flags == {20: 1, 21: 1, 22: 0, 23: 0}
+
+
+def test_repetition_scores_tiny_corpus_parity(tmp_path, duck):
+    """Repetition fractions on the degenerate shapes: an all-one-gram doc
+    (both fractions -> 1 - 1/total and 1.0), clean prose (dup 0), a
+    single-token doc and an empty doc (no 2-grams -> all zeros)."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import repetition_scores
+    from .util import assert_frames_match
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "lang": pa.array(["en"] * 4),
+                "text": pa.array(
+                    [
+                        "spam spam spam spam spam",  # one distinct 2-gram x4
+                        "a b c d e",                  # 4 distinct 2-grams
+                        "lonely",                      # no 2-grams
+                        "",                            # empty
+                    ]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = repetition_scores(str(tmp_path)).to_pandas().sort_values("doc_id")
+    want = duck.execute(oracle.REPETITION_SCORES).fetchdf().sort_values("doc_id")
+    assert_frames_match(
+        got.reset_index(drop=True), want.reset_index(drop=True), "repetition"
+    )
+    r = got.set_index("doc_id")
+    assert r.loc[1, "n_2grams"] == 4 and r.loc[1, "top_2gram_frac"] == 1.0
+    assert r.loc[1, "dup_2gram_frac"] == 0.75
+    assert r.loc[2, "dup_2gram_frac"] == 0.0
+    assert (r.loc[3] == 0).all() and (r.loc[4] == 0).all()

@@ -46,6 +46,7 @@ _TRANSCRIPT_BODIES = {
 _TABLE_SQL = {
     "token_counts": oracle.TOKEN_COUNTS,
     "decontaminate": oracle.DECONTAMINATE,
+    "repetition_scores": oracle.REPETITION_SCORES,
     "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
     "ngram_topk": oracle.NGRAM_TOPK,
     "stratified_sample": oracle.STRATIFIED_SAMPLE,
