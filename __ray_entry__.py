@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text.token_counts,
         "decontaminate": text.decontaminate,  # eval n-gram overlap flagging
         "repetition_scores": text.repetition_scores,  # Gopher repetition filters
+        "source_mixture": text.source_mixture,  # token-weighted mixing weights
         "token_counts_bpe": text.token_counts_bpe,
         "ngram_topk": text.ngram_topk,  # vocabulary head: bigram cnt + df
         "stratified_sample": text.stratified_sample,  # per-lang rate gate
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracle.TOKEN_COUNTS,
         "decontaminate": oracle.DECONTAMINATE,
         "repetition_scores": oracle.REPETITION_SCORES,
+        "source_mixture": oracle.SOURCE_MIXTURE,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
         "ngram_topk": oracle.NGRAM_TOPK,
         "stratified_sample": oracle.STRATIFIED_SAMPLE,

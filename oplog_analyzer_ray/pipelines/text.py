@@ -588,3 +588,49 @@ def repetition_scores(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def source_mixture(sf_dir: str) -> Dataset:
+    """Per-source token-weighted mixture report: document count, token
+    count, token share of the corpus, and the uniform-target resampling
+    weight ``total_tokens / (n_sources · src_tokens)`` — the factor that
+    up/down-samples each source so the token mixture becomes uniform (any
+    published target mixture is a per-source scaling of these weights).
+
+    Scale shape: per-doc token counts collapse inside each block, then
+    :func:`~.agg.grouped` merges sources × blocks partial rows — the
+    exchange never moves text.  The final table is #sources rows, so the
+    global ratios are computed on a driver-side tiny table by design.
+    All ratios are integer/integer divisions (bit-exact vs the oracle)."""
+    import pyarrow as pa
+
+    from .agg import GroupSpec, grouped
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_tok": df["text"].str.split(" ").str.len().astype("int64"),
+            }
+        )
+
+    per_src = grouped(
+        read_documents(sf_dir, ["source", "text"]).map_batches(
+            tokens, batch_format="pandas"
+        ),
+        GroupSpec(keys=("source",), count=True, sum_cols=("n_tok",)),
+    )
+    t = pa.concat_tables(ray.get(per_src.to_arrow_refs()))
+    n_tok = t.column("sum_n_tok").to_numpy().astype(np.int64)
+    total = int(n_tok.sum())
+    n_src = len(n_tok)
+    out = pa.table(
+        {
+            "source": t.column("source"),
+            "n_docs": t.column("cnt"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "token_share": pa.array(_trunc6(n_tok / float(total))),
+            "sample_weight": pa.array(_trunc6(float(total) / (n_src * n_tok))),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -217,3 +217,36 @@ def test_repetition_scores_tiny_corpus_parity(tmp_path, duck):
     assert r.loc[1, "dup_2gram_frac"] == 0.75
     assert r.loc[2, "dup_2gram_frac"] == 0.0
     assert (r.loc[3] == 0).all() and (r.loc[4] == 0).all()
+
+
+def test_source_mixture_skewed_corpus_parity(tmp_path, duck):
+    """Token-weighted mixture on a 3:1 skew: the heavy source gets weight
+    total/(n_src*tokens) < 1, the light one > 1, shares sum to 1."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import source_mixture
+    from .util import assert_frames_match
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["web", "web", "web", "books"]),
+                "text": pa.array(["a b", "c d", "e f", "g h"]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = source_mixture(str(tmp_path)).to_pandas().sort_values("source")
+    want = duck.execute(oracle.SOURCE_MIXTURE).fetchdf().sort_values("source")
+    assert_frames_match(
+        got.reset_index(drop=True), want.reset_index(drop=True), "source_mixture"
+    )
+    m = got.set_index("source")
+    assert m.loc["web", "n_tokens"] == 6 and m.loc["books", "n_tokens"] == 2
+    assert m.loc["web", "sample_weight"] < 1.0 < m.loc["books", "sample_weight"]
+    assert abs(got["token_share"].sum() - 1.0) < 2e-6
