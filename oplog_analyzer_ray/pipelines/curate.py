@@ -8,9 +8,15 @@ The decision pipeline a real LLM-data curation run executes over 100 TB:
 2. QUALITY filter — composite heuristic ≥ ``MIN_QUALITY`` (same formula as
    ``text.quality_scores``);
 3. stratified LANGUAGE re-balancing — the deterministic per-language
-   permille gate of ``text.stratified_sample``.
+   permille gate of ``text.stratified_sample``;
+4. benchmark DECONTAMINATION — eval documents themselves and any document
+   sharing an eval word-5-gram are dropped (``text.eval_gram_hits`` against
+   the broadcast eval set);
+5. REPETITION gate — duplicated-2-gram fraction ≤ ``MAX_DUP_2GRAM``
+   (``text.dup_2gram_fraction``, the Gopher-style filter).
 
-Scale shape: quality + strata are evaluated in the SAME single pass over
+Scale shape: quality + strata + decontamination + repetition are all
+evaluated in the SAME single pass over
 the documents scan (no extra corpus read per criterion), each side is
 PRE-FILTERED before the join so only surviving (doc_id, small-int) rows
 enter the one doc_id-bucketed exchange that intersects them.  Nothing
@@ -28,21 +34,36 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 from ray.data import Dataset
 
 from .agg import MERGE_BUCKETS, dyn_buckets
 from .dedup import _bucket_on, dedup_decision
-from .text import _trunc6, quality_components, read_documents, strata_gate
+from .text import (
+    DECON_EVAL_DOCS,
+    _eval_gram_set,
+    _trunc6,
+    dup_2gram_fraction,
+    eval_gram_hits,
+    quality_components,
+    read_documents,
+    resolve_eval_grams,
+    strata_gate,
+)
 
 # composite-quality keep threshold (compared on the 6dp-truncated value so
 # both engines gate on bit-identical numbers)
 MIN_QUALITY = 0.5
+# repetition keep threshold: duplicated-2-gram fraction (6dp-truncated,
+# int/int division so the gate input is bit-identical across engines)
+MAX_DUP_2GRAM = 0.1
 
 
 def curated_corpus(sf_dir: str) -> Dataset:
     """The curated-corpus decision table: one row per KEPT document —
     ``(doc_id, lang, quality, cluster_size)``, sorted by doc_id."""
     buckets = dyn_buckets(MERGE_BUCKETS)
+    grams_ref = ray.put(_eval_gram_set(sf_dir))  # broadcast once
 
     # side A: canonical docs only (pre-filtered before the exchange)
     def canon(t: pa.Table) -> pa.Table:
@@ -59,11 +80,16 @@ def curated_corpus(sf_dir: str) -> Dataset:
 
     side_a = dedup_decision(sf_dir).map_batches(canon, batch_format="pyarrow")
 
-    # side B: quality + strata survivors from ONE documents pass
+    # side B: quality + strata + decontamination + repetition survivors
+    # from ONE documents pass
     def qual_strata(df: pd.DataFrame) -> pd.DataFrame:
         quality = _trunc6(quality_components(df)["quality"])
         _, in_strata = strata_gate(df)
-        keep = (quality >= MIN_QUALITY) & in_strata
+        clean = (df["doc_id"] >= DECON_EVAL_DOCS) & (
+            eval_gram_hits(df, resolve_eval_grams(grams_ref)) == 0
+        )
+        low_rep = _trunc6(dup_2gram_fraction(df)) <= MAX_DUP_2GRAM
+        keep = (quality >= MIN_QUALITY) & in_strata & clean & low_rep
         out = pd.DataFrame(
             {
                 "doc_id": df["doc_id"][keep],

@@ -488,6 +488,62 @@ def _eval_gram_set(sf_dir: str) -> frozenset:
 _DECON_CACHE: dict[int, frozenset] = {}
 
 
+def resolve_eval_grams(grams_ref) -> frozenset:
+    """ray.get the broadcast eval gram set once per worker process."""
+    key = id(grams_ref)
+    grams = _DECON_CACHE.get(key)
+    if grams is None:
+        _DECON_CACHE.clear()  # at most one eval set per worker
+        grams = ray.get(grams_ref)
+        _DECON_CACHE[key] = grams
+    return grams
+
+
+def _word_ngrams(df: pd.DataFrame, n: int) -> pd.Series:
+    """Word n-gram per token position (Series indexed by source row;
+    positions whose window runs off the document end are NaN).  Built with
+    C-level kernels: explode + per-doc shift + ``str.cat`` on a RangeIndex
+    (str.cat aligns by index and the duplicated doc-row index would
+    mis-align, so cat positionally and restore the doc index after)."""
+    ex = df["text"].str.split(" ").explode()
+    base = ex.reset_index(drop=True)
+    shifted = [
+        ex.groupby(level=0).shift(-k).reset_index(drop=True)
+        for k in range(1, n)
+    ]
+    gram = base.str.cat(shifted, sep=" ") if shifted else base
+    gram.index = ex.index
+    return gram
+
+
+def eval_gram_hits(df: pd.DataFrame, grams) -> pd.Series:
+    """Distinct eval-set DECON_NGRAM-grams per document row (int64,
+    index-aligned with ``df``)."""
+    gram = _word_ngrams(df, DECON_NGRAM)
+    return (
+        gram[gram.isin(grams)]
+        .groupby(level=0)
+        .nunique()
+        .reindex(df.index)
+        .fillna(0)
+        .astype("int64")
+    )
+
+
+def dup_2gram_fraction(df: pd.DataFrame) -> pd.Series:
+    """Duplicated-2-gram fraction per document row (float64, untruncated;
+    0.0 for docs with no 2-grams) — the repetition-gate input shared with
+    :mod:`~oplog_analyzer_ray.pipelines.curate`."""
+    g = _word_ngrams(df, 2).dropna()
+    total = g.groupby(level=0).size().reindex(df.index).fillna(0).astype("int64")
+    distinct = (
+        g.groupby(level=0).nunique().reindex(df.index).fillna(0).astype("int64")
+    )
+    return ((total - distinct).astype("float64") / total.astype("float64")).fillna(
+        0.0
+    )
+
+
 def decontaminate(sf_dir: str) -> Dataset:
     """(doc_id, eval_gram_hits, contaminated) for every non-eval document.
 
@@ -502,35 +558,9 @@ def decontaminate(sf_dir: str) -> Dataset:
     grams_ref = ray.put(_eval_gram_set(sf_dir))
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        key = id(grams_ref)
-        grams = _DECON_CACHE.get(key)
-        if grams is None:
-            _DECON_CACHE.clear()  # at most one eval set per worker
-            grams = ray.get(grams_ref)
-            _DECON_CACHE[key] = grams
+        grams = resolve_eval_grams(grams_ref)
         df = df[df["doc_id"] >= DECON_EVAL_DOCS]
-        toks = df["text"].str.split(" ")
-        ex = toks.explode()
-        # n-gram per token position: token ∥ next ∥ … ∥ next^{N-1}, via
-        # grouped shifts on a RangeIndex (str.cat aligns by index; the
-        # duplicated doc-row index would mis-align, so cat positionally and
-        # restore the doc index afterwards).  Positions whose window runs
-        # off the document end are NaN and drop out of the membership test.
-        base = ex.reset_index(drop=True)
-        shifted = [
-            ex.groupby(level=0).shift(-k).reset_index(drop=True)
-            for k in range(1, DECON_NGRAM)
-        ]
-        gram = base.str.cat(shifted, sep=" ")
-        gram.index = ex.index
-        hits = (
-            gram[gram.isin(grams)]
-            .groupby(level=0)
-            .nunique()
-            .reindex(df.index)
-            .fillna(0)
-            .astype("int64")
-        )
+        hits = eval_gram_hits(df, grams)
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
@@ -554,12 +584,7 @@ def repetition_scores(sf_dir: str) -> Dataset:
     oracle is bit-exact (then truncated to 6dp like every float here)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        ex = toks.explode()
-        nxt = ex.groupby(level=0).shift(-1).reset_index(drop=True)
-        gram = ex.reset_index(drop=True).str.cat(nxt, sep=" ")
-        gram.index = ex.index
-        g = gram.dropna()
+        g = _word_ngrams(df, 2).dropna()
         total = g.groupby(level=0).size().reindex(df.index).fillna(0).astype("int64")
         distinct = (
             g.groupby(level=0).nunique().reindex(df.index).fillna(0).astype("int64")
