@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,  # eval n-gram overlap flagging
         "repetition_scores": text.repetition_scores,  # Gopher repetition filters
         "source_mixture": text.source_mixture,  # token-weighted mixing weights
+        "token_rarity": text.token_rarity,  # perplexity-proxy fluency signal
         "token_counts_bpe": text.token_counts_bpe,
         "ngram_topk": text.ngram_topk,  # vocabulary head: bigram cnt + df
         "stratified_sample": text.stratified_sample,  # per-lang rate gate
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracle.DECONTAMINATE,
         "repetition_scores": oracle.REPETITION_SCORES,
         "source_mixture": oracle.SOURCE_MIXTURE,
+        "token_rarity": oracle.TOKEN_RARITY,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
         "ngram_topk": oracle.NGRAM_TOPK,
         "stratified_sample": oracle.STRATIFIED_SAMPLE,

@@ -659,3 +659,81 @@ def source_mixture(sf_dir: str) -> Dataset:
         }
     )
     return ray.data.from_arrow(out)
+
+
+# per-worker cache for the broadcast unigram vocabulary (same pattern as
+# _DECON_CACHE: resolved once per worker process, not per batch)
+_VOCAB_CACHE: dict[int, dict] = {}
+
+
+def _unigram_counts(sf_dir: str) -> Dataset:
+    """Corpus unigram frequencies: each block collapses to one (tok, cnt)
+    row per distinct token (pandas ``value_counts``), then
+    :func:`~.agg.grouped` merges vocabulary-sized partials — the exchange
+    never moves the token stream."""
+    from .agg import GroupSpec, grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["text"].str.split(" ").explode().value_counts()
+        return pd.DataFrame(
+            {
+                "tok": vc.index.astype(str),
+                "cnt": vc.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return grouped(
+        read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",)),
+    )
+
+
+def token_rarity(sf_dir: str) -> Dataset:
+    """Perplexity-proxy fluency signal per document: ``commonness`` = mean
+    corpus frequency of the document's tokens (= Σ count(tok) / (n_tokens ·
+    total_tokens), an all-integer ratio so parity is bit-exact) and
+    ``rarest_token_count`` = the corpus count of the document's rarest
+    token.  Docs full of hapax/garbage tokens score near 0; boilerplate
+    scores high — the cheap stand-in for an LM perplexity filter.
+
+    Two-phase scale shape: phase 1 aggregates unigram counts (vocabulary-
+    sized exchange; the vocab table is sublinear in corpus size — ~10⁷
+    entries even at web scale — and IS materialized and broadcast whole,
+    ``ray.put`` once, per-worker cache); phase 2 streams documents through
+    one vectorized scoring pass.  No corpus-sized shuffle."""
+    import pyarrow as pa
+
+    vt = pa.concat_tables(ray.get(_unigram_counts(sf_dir).to_arrow_refs()))
+    cnts = vt.column("sum_cnt").to_numpy().astype(np.int64)
+    total = int(cnts.sum())
+    vocab = dict(zip(vt.column("tok").to_pylist(), cnts.tolist()))
+    vocab_ref = ray.put(vocab)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = id(vocab_ref)
+        v = _VOCAB_CACHE.get(key)
+        if v is None:
+            _VOCAB_CACHE.clear()
+            v = ray.get(vocab_ref)
+            _VOCAB_CACHE[key] = v
+        toks = df["text"].str.split(" ")
+        n = toks.str.len().astype("int64")
+        c = toks.explode().map(v).astype("int64")
+        s = c.groupby(level=0).sum().reindex(df.index).astype("int64")
+        rarest = c.groupby(level=0).min().reindex(df.index).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": n,
+                "rarest_token_count": rarest,
+                "commonness": _trunc6(
+                    s.astype("float64") / (n * total).astype("float64")
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

@@ -250,3 +250,42 @@ def test_source_mixture_skewed_corpus_parity(tmp_path, duck):
     assert m.loc["web", "n_tokens"] == 6 and m.loc["books", "n_tokens"] == 2
     assert m.loc["web", "sample_weight"] < 1.0 < m.loc["books", "sample_weight"]
     assert abs(got["token_share"].sum() - 1.0) < 2e-6
+
+
+def test_token_rarity_tiny_corpus_parity(tmp_path, duck):
+    """Rarity signal on a corpus with one common token and hapaxes: the
+    boilerplate doc scores higher commonness than the hapax-heavy doc, the
+    hapax doc's rarest_token_count is 1, and the SQL oracle agrees."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import token_rarity
+    from .util import assert_frames_match
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "lang": pa.array(["en"] * 3),
+                "text": pa.array(
+                    [
+                        "the the the the",   # boilerplate: all-common
+                        "zx qv wk the",      # three hapaxes + one common
+                        "the the mm",        # mixed
+                    ]
+                ),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = token_rarity(str(tmp_path)).to_pandas().sort_values("doc_id")
+    want = duck.execute(oracle.TOKEN_RARITY).fetchdf().sort_values("doc_id")
+    assert_frames_match(
+        got.reset_index(drop=True), want.reset_index(drop=True), "token_rarity"
+    )
+    r = got.set_index("doc_id")
+    assert r.loc[1, "commonness"] > r.loc[2, "commonness"]
+    assert r.loc[2, "rarest_token_count"] == 1
+    assert r.loc[1, "rarest_token_count"] == 7  # 'the' appears 7x

@@ -48,6 +48,7 @@ _TABLE_SQL = {
     "decontaminate": oracle.DECONTAMINATE,
     "repetition_scores": oracle.REPETITION_SCORES,
     "source_mixture": oracle.SOURCE_MIXTURE,
+    "token_rarity": oracle.TOKEN_RARITY,
     "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
     "ngram_topk": oracle.NGRAM_TOPK,
     "stratified_sample": oracle.STRATIFIED_SAMPLE,
