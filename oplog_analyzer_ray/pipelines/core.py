@@ -747,3 +747,69 @@ def hot_keys_docsize(sf_dir: str, k: int = 20) -> Dataset:
         k,
         [("cnt", "descending"), ("ns", "ascending"), ("conv_id", "ascending")],
     )
+
+
+def conv_profiles(sf_dir: str) -> Dataset:
+    """Per-conversation profile over the RAW transcript turns — the
+    conversation-level filter inputs a chat-model training pipeline needs
+    (turn counts by role, tool-call rate, size, wall-clock span) before
+    deciding which conversations to keep.
+
+    Scale shape: one vectorized pyarrow pass derives int indicator columns,
+    then :func:`~.agg.grouped` merges conv_id-keyed partials (each block
+    pre-collapses to one row per conversation present, so the exchange is
+    bounded at blocks × convs-per-block rows and the text column never
+    shuffles — it is dropped before the exchange)."""
+    from .agg import GroupSpec, grouped
+
+    def partial(t: pa.Table) -> pa.Table:
+        role = t.column("role")
+
+        def ind(mask) -> pa.Array:
+            return pc.cast(mask, pa.int64())
+
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "is_user": ind(pc.equal(role, "user")),
+                "is_assistant": ind(pc.equal(role, "assistant")),
+                "is_tool": ind(pc.equal(role, "tool")),
+                "is_system": ind(pc.equal(role, "system")),
+                "tool_call": ind(pc.not_equal(t.column("tool"), "none")),
+                "n_chars": pc.cast(
+                    pc.utf8_length(t.column("text")), pa.int64()
+                ),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    g = grouped(
+        read_transcripts(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        GroupSpec(
+            keys=("conv_id",),
+            count=True,
+            sum_cols=("is_user", "is_assistant", "is_tool", "is_system",
+                      "tool_call", "n_chars"),
+            min_cols=("ts_us",),
+            max_cols=("ts_us",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "n_turns": t.column("cnt"),
+                "n_user": t.column("sum_is_user"),
+                "n_assistant": t.column("sum_is_assistant"),
+                "n_tool": t.column("sum_is_tool"),
+                "n_system": t.column("sum_is_system"),
+                "tool_calls": t.column("sum_tool_call"),
+                "total_chars": t.column("sum_n_chars"),
+                "span_us": pc.subtract(
+                    t.column("max_ts_us"), t.column("min_ts_us")
+                ),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow")

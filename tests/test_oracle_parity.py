@@ -101,6 +101,9 @@ def _oracle_sql_for(name: str) -> str:
     if name == "filtered_events":
         ensure_transcripts(SF_DIR)
         return oracle.filters_sql(SF_DIR)
+    if name == "conv_profiles":
+        ensure_transcripts(SF_DIR)
+        return oracle.conv_profiles_sql(SF_DIR)
     if name == "update_freq_by_shard":
         ensure_transcripts(SF_DIR)
         return (
@@ -117,7 +120,7 @@ def _oracle_sql_for(name: str) -> str:
 
 _ALL = sorted(
     list(_TRANSCRIPT_BODIES)
-    + ["filtered_events", "update_freq_by_shard"]
+    + ["filtered_events", "update_freq_by_shard", "conv_profiles"]
     + list(_TABLE_SQL)
     + list(_SF_SQL)
 )
