@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_workloads": analyze.shard_workloads,  # A10/A12
         "shard_skew": analyze.shard_skew,  # A13
         "conv_profiles": core.conv_profiles,  # per-conversation training filter inputs
+        "curated_conversations": core.curated_conversations,  # agentic keep-list
         "redacted_summaries": analyze.redacted_summaries,  # M6 summary projection
         "redacted_docs": analyze.redacted_docs,  # M6 full redactor (token strip)
         # --- training-data operators (documents / embeddings / events) ---
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_events": oracle.filters_sql(_ORACLE_SF_DIR),
         "first_events": cte + oracle.FIRST_EVENTS,
         "conv_profiles": oracle.conv_profiles_sql(_ORACLE_SF_DIR),
+        "curated_conversations": oracle.curated_conversations_sql(_ORACLE_SF_DIR),
         "threshold_alerts": cte + oracle.THRESHOLD_ALERTS,
         "hot_keys_thresholded": cte + oracle.HOT_KEYS_THRESHOLDED,
         "hot_keys_docsize": cte + oracle.HOT_KEYS_DOCSIZE,

@@ -813,3 +813,41 @@ def conv_profiles(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pyarrow")
+
+
+# curated-conversation keep gates (agentic chat-training selection): drop
+# degenerate short and runaway long conversations, require real multi-turn
+# assistant participation and at least one tool call
+CONV_MIN_TURNS = 4
+CONV_MAX_TURNS = 64
+CONV_MIN_ASSISTANT = 2
+CONV_MIN_TOOL_CALLS = 1
+
+
+def curated_conversations(sf_dir: str) -> Dataset:
+    """The conversation keep-list for agentic chat training: every
+    :func:`conv_profiles` row passing the turn-range / assistant-count /
+    tool-use gates.  Same decision-table contract as ``curated_corpus`` —
+    the keep-list is the deliverable; the transcript rows themselves are
+    fetched by joining it back (broadcast or bucketed, both cheap because
+    the keep-list carries only conv_id + small ints).  Adds no pass over
+    the corpus beyond conv_profiles' single one."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("n_turns"), CONV_MIN_TURNS),
+                pc.less_equal(t.column("n_turns"), CONV_MAX_TURNS),
+            ),
+            pc.and_(
+                pc.greater_equal(
+                    t.column("n_assistant"), CONV_MIN_ASSISTANT
+                ),
+                pc.greater_equal(
+                    t.column("tool_calls"), CONV_MIN_TOOL_CALLS
+                ),
+            ),
+        )
+        return t.filter(keep)
+
+    return conv_profiles(sf_dir).map_batches(gate, batch_format="pyarrow")

@@ -104,6 +104,9 @@ def _oracle_sql_for(name: str) -> str:
     if name == "conv_profiles":
         ensure_transcripts(SF_DIR)
         return oracle.conv_profiles_sql(SF_DIR)
+    if name == "curated_conversations":
+        ensure_transcripts(SF_DIR)
+        return oracle.curated_conversations_sql(SF_DIR)
     if name == "update_freq_by_shard":
         ensure_transcripts(SF_DIR)
         return (
@@ -120,7 +123,8 @@ def _oracle_sql_for(name: str) -> str:
 
 _ALL = sorted(
     list(_TRANSCRIPT_BODIES)
-    + ["filtered_events", "update_freq_by_shard", "conv_profiles"]
+    + ["filtered_events", "update_freq_by_shard", "conv_profiles",
+       "curated_conversations"]
     + list(_TABLE_SQL)
     + list(_SF_SQL)
 )
