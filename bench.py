@@ -153,10 +153,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         # table-backed training-data ops: only where the sf dir ships the
         # side tables (the transcript-only sf5/sf10 corpora don't)
         if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
-            from oplog_analyzer_ray.pipelines import curate
+            from oplog_analyzer_ray.pipelines import curate, text
 
             extra["near_dup_jaccard"] = dedup.near_dup_jaccard
             extra["curated_corpus"] = curate.curated_corpus
+            extra["decontaminate"] = text.decontaminate
+            extra["token_rarity"] = text.token_rarity
+        extra["conv_profiles"] = core.conv_profiles
         if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce
         if os.path.exists(os.path.join(sf_dir, "events.parquet")):
