@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate scale path; recall vs exact pinned in tests (rows-only)
         "embedding_near_dups_lsh": similarity.embedding_near_dups_lsh,
         "sessionization": ev.sessionization,
+        "funnel": ev.funnel,  # ordered first-touch funnel
         "purchase_attribution": ev.purchase_attribution,  # as-of join
         "tumbling_window": ev.tumbling_window,
         "sliding_window": ev.sliding_window,
@@ -177,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
             _ORACLE_SF_DIR
         ),
         "sessionization": oracle.SESSIONIZATION,
+        "funnel": oracle.FUNNEL,
         "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,

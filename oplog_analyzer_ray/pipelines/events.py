@@ -278,3 +278,80 @@ def sliding_window(sf_dir: str) -> Dataset:
     return g.map_batches(post, batch_format="pyarrow").sort(
         ["event_type", "window_start"]
     )
+
+
+# ordered funnel stages (first-touch; each stage strictly after the prior)
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
+    """Ordered first-touch funnel (custom operator — Ray Data has no funnel
+    primitive): a user reaches stage k when they have a ``FUNNEL_STEPS[k]``
+    event STRICTLY after their stage-(k-1) reach time.  Returns one row per
+    stage: ``(stage, event_type, users, conv_from_first)``.
+
+    Scale shape: the same user-hash bucketed exchange as sessionization
+    (one user's events fit one task — the irreducible funnel partitioning
+    assumption); within a bucket the per-stage reach times are vectorized
+    groupby-mins + reindex filters, and each bucket collapses to ONE row
+    per stage, so the final merge moves buckets × stages rows.  Conversion
+    ratios are int/int divisions on the tiny final table (bit-exact vs the
+    SQL oracle)."""
+    import numpy as np
+
+    import ray
+
+    buckets = n_buckets or session_buckets(sf_dir)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        df["_bucket"] = (h % buckets).astype("int64")
+        return df
+
+    def reach(df: pd.DataFrame) -> pd.DataFrame:
+        t = None  # per-user reach time of the previous stage
+        counts: list[int] = []
+        for step in FUNNEL_STEPS:
+            e = df[df["event_type"] == step]
+            if t is not None:
+                prev = t.reindex(e["user_id"]).to_numpy()
+                e = e[pd.notna(prev) & (e["ts"].to_numpy() > prev)]
+            t = e.groupby("user_id")["ts"].min()
+            counts.append(len(t))
+        return pd.DataFrame(
+            {
+                "stage": np.arange(1, len(FUNNEL_STEPS) + 1, dtype=np.int64),
+                "event_type": list(FUNNEL_STEPS),
+                "users": pd.array(counts, dtype="int64"),
+            }
+        )
+
+    partial = (
+        read_events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(reach, batch_format="pandas")
+    )
+    g = grouped(
+        partial,
+        GroupSpec(keys=("stage", "event_type"), count=False, sum_cols=("users",)),
+    )
+    t = pa.concat_tables(ray.get(g.to_arrow_refs())).sort_by("stage")
+    users = t.column("sum_users").to_numpy().astype(np.int64)
+    u1 = int(users[0]) if len(users) else 0
+    conv = (
+        np.floor((users / float(u1)) * 1e6) / 1e6
+        if u1
+        else np.zeros(len(users), dtype=np.float64)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "stage": t.column("stage"),
+                "event_type": t.column("event_type"),
+                "users": pa.array(users, pa.int64()),
+                "conv_from_first": pa.array(conv, pa.float64()),
+            }
+        )
+    )

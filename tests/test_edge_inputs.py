@@ -289,3 +289,50 @@ def test_token_rarity_tiny_corpus_parity(tmp_path, duck):
     assert r.loc[1, "commonness"] > r.loc[2, "commonness"]
     assert r.loc[2, "rarest_token_count"] == 1
     assert r.loc[1, "rarest_token_count"] == 7  # 'the' appears 7x
+
+
+def test_funnel_strict_ordering_and_bucket_invariance(tmp_path, duck):
+    """Funnel counts only strictly-later steps: u1 converts fully, u2's
+    purchase precedes its click (stage 3 not reached), u3's click shares
+    the view timestamp (strict > excludes it), u4 never views.  The result
+    is bucket-count invariant and matches the SQL oracle."""
+    import datetime as dt
+
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.events import funnel
+    from .util import assert_frames_match
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)
+    rows = [
+        # u1: view -> click -> purchase (reaches all 3)
+        (1, s(0), "view"), (1, s(10), "click"), (1, s(20), "purchase"),
+        # u2: purchase BEFORE click -> stage 3 not reached
+        (2, s(0), "view"), (2, s(5), "purchase"), (2, s(10), "click"),
+        # u3: click at the SAME ts as view -> strict > excludes stage 2
+        (3, s(0), "view"), (3, s(0), "click"),
+        # u4: clicks without ever viewing -> reaches nothing
+        (4, s(0), "click"), (4, s(1), "purchase"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    want = duck.execute(oracle.FUNNEL).fetchdf()
+    for nb in (1, 7):
+        got = funnel(str(tmp_path), n_buckets=nb).to_pandas()
+        assert_frames_match(got, want, f"funnel[buckets={nb}]")
+    assert list(want["users"]) == [3, 2, 1]

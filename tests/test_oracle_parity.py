@@ -66,6 +66,7 @@ _TABLE_SQL = {
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
     "sessionization": oracle.SESSIONIZATION,
+    "funnel": oracle.FUNNEL,
     "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "sliding_window": oracle.SLIDING_WINDOW,
