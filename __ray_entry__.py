@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": similarity.embedding_near_dups_lsh,
         "sessionization": ev.sessionization,
         "funnel": ev.funnel,  # ordered first-touch funnel
+        "retention_cohorts": ev.retention_cohorts,  # weekly cohort retention
         "purchase_attribution": ev.purchase_attribution,  # as-of join
         "tumbling_window": ev.tumbling_window,
         "sliding_window": ev.sliding_window,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sessionization": oracle.SESSIONIZATION,
         "funnel": oracle.FUNNEL,
+        "retention_cohorts": oracle.RETENTION_COHORTS,
         "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,

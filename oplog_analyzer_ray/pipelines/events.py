@@ -355,3 +355,92 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
             }
         )
     )
+
+
+# retention-cohort week arithmetic: integer micros since the corpus anchor,
+# floor-divided into 7-day weeks — identical integer math in the SQL oracle
+# (date_trunc('week') would drag in engine week-start conventions)
+COHORT_ANCHOR_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch us
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
+    """Weekly retention-cohort table: ``(cohort_week, week_offset, users,
+    retention)`` where ``cohort_week`` is the week of a user's first event,
+    a user contributes to ``week_offset = activity_week - cohort_week``
+    once per active week, and ``retention`` = users / cohort size (the
+    offset-0 cell, always present).
+
+    Scale shape: user-hash bucketed exchange (users whole per task, like
+    sessionization/funnel), so within-bucket distinct-user counts per
+    (cohort, offset) cell SUM to the global distinct count; each bucket
+    collapses to at most weeks² cell rows, merged by :func:`~.agg.grouped`.
+    The retention join runs on the tiny final cell table.  All week math
+    is int64 (micros // WEEK_US), bit-exact vs the oracle."""
+    buckets = n_buckets or session_buckets(sf_dir)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+        df["_bucket"] = (h % buckets).astype("int64")
+        return df
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        # pin the resolution before the int view: pandas may surface the
+        # arrow timestamp as M8[us] or M8[ns] depending on version
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        wk = ((ts_us - COHORT_ANCHOR_US) // WEEK_US).astype("int64")
+        first = wk.groupby(df["user_id"]).transform("min")
+        cell = pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "cohort_week": first,
+                "week_offset": wk - first,
+            }
+        ).drop_duplicates()
+        out = (
+            cell.groupby(["cohort_week", "week_offset"], sort=False)
+            .size()
+            .rename("users")
+            .reset_index()
+        )
+        out["users"] = out["users"].astype("int64")
+        return out
+
+    g = grouped(
+        read_events(sf_dir, ["user_id", "ts"])
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(cells, batch_format="pandas"),
+        GroupSpec(
+            keys=("cohort_week", "week_offset"), count=False, sum_cols=("users",)
+        ),
+    )
+    import ray
+
+    t = pa.concat_tables(ray.get(g.to_arrow_refs()))
+    df = t.to_pandas().sort_values(["cohort_week", "week_offset"])
+    base = (
+        df[df["week_offset"] == 0]
+        .set_index("cohort_week")["sum_users"]
+        .astype("int64")
+    )
+    users = df["sum_users"].astype("int64")
+    denom = base.reindex(df["cohort_week"]).to_numpy(dtype="float64")
+    import numpy as np
+
+    retention = np.floor((users.to_numpy() / denom) * 1e6) / 1e6
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cohort_week": pa.array(
+                    df["cohort_week"].to_numpy(), pa.int64()
+                ),
+                "week_offset": pa.array(
+                    df["week_offset"].to_numpy(), pa.int64()
+                ),
+                "users": pa.array(users.to_numpy(), pa.int64()),
+                "retention": pa.array(retention, pa.float64()),
+            }
+        )
+    )

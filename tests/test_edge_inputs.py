@@ -336,3 +336,42 @@ def test_funnel_strict_ordering_and_bucket_invariance(tmp_path, duck):
         got = funnel(str(tmp_path), n_buckets=nb).to_pandas()
         assert_frames_match(got, want, f"funnel[buckets={nb}]")
     assert list(want["users"]) == [3, 2, 1]
+
+
+def test_retention_cohorts_tiny_corpus_parity(tmp_path, duck):
+    """Cohort math on a hand-computable fixture: user A (cohort week 0,
+    active weeks 0/1/3 — twice in week 1 counts once), user B (cohort
+    week 1, active weeks 1/2).  Bucket-count invariant and oracle-exact."""
+    import datetime as dt
+
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.events import retention_cohorts
+    from .util import assert_frames_match
+
+    t0 = dt.datetime(2024, 1, 1)
+    wk = lambda w, h=0: t0 + dt.timedelta(weeks=w, hours=h)
+    rows = [(1, wk(0)), (1, wk(1)), (1, wk(1, 5)), (1, wk(3)),
+            (2, wk(1)), (2, wk(2))]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    want = duck.execute(oracle.RETENTION_COHORTS).fetchdf()
+    for nb in (1, 5):
+        got = retention_cohorts(str(tmp_path), n_buckets=nb).to_pandas()
+        assert_frames_match(got, want, f"retention[buckets={nb}]")
+    cells = {(r.cohort_week, r.week_offset): r.users for r in want.itertuples()}
+    assert cells == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}

@@ -67,6 +67,7 @@ _TABLE_SQL = {
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
     "sessionization": oracle.SESSIONIZATION,
     "funnel": oracle.FUNNEL,
+    "retention_cohorts": oracle.RETENTION_COHORTS,
     "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "sliding_window": oracle.SLIDING_WINDOW,
