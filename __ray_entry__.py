@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionization": ev.sessionization,
         "funnel": ev.funnel,  # ordered first-touch funnel
         "retention_cohorts": ev.retention_cohorts,  # weekly cohort retention
+        "approx_distinct_users": ev.approx_distinct_users,  # KMV sketch
         "purchase_attribution": ev.purchase_attribution,  # as-of join
         "tumbling_window": ev.tumbling_window,
         "sliding_window": ev.sliding_window,
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionization": oracle.SESSIONIZATION,
         "funnel": oracle.FUNNEL,
         "retention_cohorts": oracle.RETENTION_COHORTS,
+        "approx_distinct_users": oracle.APPROX_DISTINCT_USERS,
         "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,

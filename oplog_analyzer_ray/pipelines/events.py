@@ -444,3 +444,70 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
             }
         )
     )
+
+
+# KMV sketch size: small enough that the under-k exact branch is exercised
+# at sf0.001 (15 users) while the sketch branch fires from sf0.01 up (150+)
+KMV_K = 64
+_KMV_MASK = (1 << 63) - 1  # 63-bit hash space: BIGINT-safe on both engines
+
+
+def approx_distinct_users(sf_dir: str) -> Dataset:
+    """Mergeable KMV (k-minimum-values) distinct-count sketch over
+    ``user_id`` — the sketch pattern for cardinality at 100 TB, where exact
+    COUNT(DISTINCT) is a full shuffle.  One row out: ``(k, n_seen,
+    kth_hash, est_distinct)`` with ``est_distinct = (k-1)·2⁶³ //
+    kth_hash`` (or the exact count when fewer than k distinct hashes
+    exist).  Fully deterministic — md5-based hashing makes the estimate
+    itself oracle-checkable, unlike HLL's float register math.
+
+    Scale shape: each block emits only its k smallest DISTINCT user-id
+    hashes (np.unique + partition), so the merge input is blocks × k tiny
+    int rows; the final unique-sort-kth runs on that driver-side by design.
+    The md5 loop is per DISTINCT user per block (the minhash oracle-parity
+    pattern)."""
+    import hashlib
+
+    import numpy as np
+
+    import ray
+
+    def local_kmin(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = pd.unique(df["user_id"])
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big"
+                )
+                & _KMV_MASK
+                for u in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        hs = np.unique(hs)  # sorted ascending
+        return pd.DataFrame({"hv": hs[:KMV_K]})
+
+    parts = (
+        read_events(sf_dir, ["user_id"])
+        .map_batches(local_kmin, batch_format="pandas")
+        .take_all()
+    )  # bounded: blocks × k int64 rows — the sketch IS the small side
+    hs = np.unique(np.array([r["hv"] for r in parts], dtype=np.int64))
+    sel = hs[:KMV_K]
+    n_seen = int(len(sel))
+    kth = int(sel[-1]) if n_seen else 0
+    if n_seen < KMV_K:
+        est = n_seen
+    else:
+        est = ((KMV_K - 1) << 63) // kth  # exact int math, floor division
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([KMV_K], pa.int64()),
+                "n_seen": pa.array([n_seen], pa.int64()),
+                "kth_hash": pa.array([kth], pa.int64()),
+                "est_distinct": pa.array([est], pa.int64()),
+            }
+        )
+    )

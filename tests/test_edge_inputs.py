@@ -375,3 +375,44 @@ def test_retention_cohorts_tiny_corpus_parity(tmp_path, duck):
         assert_frames_match(got, want, f"retention[buckets={nb}]")
     cells = {(r.cohort_week, r.week_offset): r.users for r in want.itertuples()}
     assert cells == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_approx_distinct_sketch_branch_accuracy(tmp_path, duck):
+    """KMV sketch branch (n >> k): estimate matches the SQL oracle
+    bit-for-bit and lands within the expected ~1/sqrt(k) error band of the
+    true cardinality (loose 40% bound; the estimate is deterministic so
+    this can never flake)."""
+    import datetime as dt
+
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.events import approx_distinct_users
+    from .util import assert_frames_match
+
+    n_users = 5000
+    t0 = dt.datetime(2024, 1, 1)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n_users), pa.int64()),
+                "ts": pa.array(
+                    [t0 + dt.timedelta(seconds=i) for i in range(n_users)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array(range(n_users), pa.int64()),
+                "event_type": pa.array(["view"] * n_users),
+                "value": pa.array([1.0] * n_users),
+                "props": pa.array(["{}"] * n_users),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    got = approx_distinct_users(str(tmp_path)).to_pandas()
+    want = duck.execute(oracle.APPROX_DISTINCT_USERS).fetchdf()
+    assert_frames_match(got, want, "approx_distinct_users")
+    est = int(got["est_distinct"].iloc[0])
+    assert got["n_seen"].iloc[0] == 64  # sketch branch, not the exact one
+    assert abs(est - n_users) / n_users < 0.4

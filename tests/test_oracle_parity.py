@@ -68,6 +68,7 @@ _TABLE_SQL = {
     "sessionization": oracle.SESSIONIZATION,
     "funnel": oracle.FUNNEL,
     "retention_cohorts": oracle.RETENTION_COHORTS,
+    "approx_distinct_users": oracle.APPROX_DISTINCT_USERS,
     "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "sliding_window": oracle.SLIDING_WINDOW,
