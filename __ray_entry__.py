@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": ev.funnel,  # ordered first-touch funnel
         "retention_cohorts": ev.retention_cohorts,  # weekly cohort retention
         "approx_distinct_users": ev.approx_distinct_users,  # KMV sketch
+        "approx_distinct_users_by_type": ev.approx_distinct_users_by_type,
         "purchase_attribution": ev.purchase_attribution,  # as-of join
         "tumbling_window": ev.tumbling_window,
         "sliding_window": ev.sliding_window,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": oracle.FUNNEL,
         "retention_cohorts": oracle.RETENTION_COHORTS,
         "approx_distinct_users": oracle.APPROX_DISTINCT_USERS,
+        "approx_distinct_users_by_type": oracle.APPROX_DISTINCT_USERS_BY_TYPE,
         "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "sliding_window": oracle.SLIDING_WINDOW,

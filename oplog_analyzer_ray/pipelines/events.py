@@ -511,3 +511,63 @@ def approx_distinct_users(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+def approx_distinct_users_by_type(sf_dir: str) -> Dataset:
+    """Per-``event_type`` KMV distinct-user sketch — the MERGEABLE-sketch
+    pattern run inside the dataset plane: each block emits its k smallest
+    distinct user hashes PER TYPE, the ``groupby(event_type)`` exchange
+    moves only types × blocks × k int rows (never user rows), and each
+    group task finishes its own sketch.  Same deterministic estimate
+    contract as :func:`approx_distinct_users` (oracle-exact, exact count
+    below k)."""
+    import hashlib
+
+    import numpy as np
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for et, g in df.groupby("event_type", sort=False):
+            uniq = pd.unique(g["user_id"])
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(int(u)).encode()).digest()[:8], "big"
+                    )
+                    & _KMV_MASK
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            hs = np.unique(hs)[:KMV_K]
+            outs.append(pd.DataFrame({"event_type": et, "hv": hs}))
+        if not outs:
+            return pd.DataFrame(
+                {"event_type": pd.array([], dtype=str),
+                 "hv": pd.array([], dtype="int64")}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(g["hv"].to_numpy())[:KMV_K]
+        n = int(len(hs))
+        kth = int(hs[-1]) if n else 0
+        est = n if n < KMV_K else ((KMV_K - 1) << 63) // kth
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "k": pd.array([KMV_K], dtype="int64"),
+                "n_seen": pd.array([n], dtype="int64"),
+                "kth_hash": pd.array([kth], dtype="int64"),
+                "est_distinct": pd.array([est], dtype="int64"),
+            }
+        )
+
+    return (
+        read_events(sf_dir, ["user_id", "event_type"])
+        .map_batches(local, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(finish, batch_format="pandas")
+        .sort("event_type")
+    )

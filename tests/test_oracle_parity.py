@@ -69,6 +69,7 @@ _TABLE_SQL = {
     "funnel": oracle.FUNNEL,
     "retention_cohorts": oracle.RETENTION_COHORTS,
     "approx_distinct_users": oracle.APPROX_DISTINCT_USERS,
+    "approx_distinct_users_by_type": oracle.APPROX_DISTINCT_USERS_BY_TYPE,
     "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "sliding_window": oracle.SLIDING_WINDOW,
