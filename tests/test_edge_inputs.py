@@ -416,3 +416,48 @@ def test_approx_distinct_sketch_branch_accuracy(tmp_path, duck):
     est = int(got["est_distinct"].iloc[0])
     assert got["n_seen"].iloc[0] == 64  # sketch branch, not the exact one
     assert abs(est - n_users) / n_users < 0.4
+
+
+def test_documents_dir_corpus_layout_parity(tmp_path, duck):
+    """A multi-file documents/ directory corpus (what real scale produces)
+    must give the same answers as the single-file layout for the new
+    document-side ops — the round-2 lesson was that single-file assumptions
+    hide exactly this breakage."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import (
+        decontaminate,
+        repetition_scores,
+        source_mixture,
+        token_rarity,
+    )
+    from .util import assert_frames_match
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "lang": pa.array(["en"] * 30),
+            "source": pa.array(["web" if i % 3 else "books" for i in range(30)]),
+            "text": pa.array(
+                [f"tok{i} a b c d e f common tail {'a b c d e f' if i % 4 == 0 else 'x' + str(i)}"
+                 for i in range(30)]
+            ),
+        }
+    )
+    d = tmp_path / "documents"
+    d.mkdir()
+    pq.write_table(docs.slice(0, 13), d / "part-0.parquet")
+    pq.write_table(docs.slice(13), d / "part-1.parquet")
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/*.parquet')"
+    )
+    for fn, sql in [
+        (decontaminate, oracle.DECONTAMINATE),
+        (repetition_scores, oracle.REPETITION_SCORES),
+        (source_mixture, oracle.SOURCE_MIXTURE),
+        (token_rarity, oracle.TOKEN_RARITY),
+    ]:
+        # assert_frames_match canonicalizes row/column order itself
+        assert_frames_match(
+            fn(str(tmp_path)), duck.execute(sql).fetchdf(), fn.__name__
+        )
