@@ -11,6 +11,7 @@ Usage:
   python -m oplog_analyzer_ray report  --sf-dir DIR [--top N]
   python -m oplog_analyzer_ray analyze --sf-dir DIR
   python -m oplog_analyzer_ray sample  --sf-dir DIR [--k N]
+  python -m oplog_analyzer_ray curate  --sf-dir DIR --out OUT [--conversations]
 """
 
 from __future__ import annotations
@@ -199,6 +200,34 @@ def cmd_sample(args) -> None:
               f"followed events: {n}")
 
 
+def cmd_curate(args) -> None:
+    """Training-corpus curation: write the curated keep-lists (documents
+    and, with --conversations, the agentic conversation keep-list) as
+    parquet plus a summary JSON."""
+    import json
+    import os
+
+    from .pipelines.curate import curated_corpus
+
+    os.makedirs(args.out, exist_ok=True)
+    kept = curated_corpus(args.sf_dir)
+    kept.write_parquet(os.path.join(args.out, "documents_keep"))
+    n_docs = kept.count()
+    stats = {"documents_kept": n_docs}
+    if args.conversations:
+        from .pipelines.core import curated_conversations
+
+        conv = curated_conversations(args.sf_dir)
+        conv.write_parquet(os.path.join(args.out, "conversations_keep"))
+        stats["conversations_kept"] = conv.count()
+    with open(os.path.join(args.out, "curate_stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    print(
+        "curated: " + ", ".join(f"{k}={v}" for k, v in stats.items())
+        + f" -> {args.out}"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="oplog_analyzer_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -244,6 +273,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="write followed events (parquet, partitioned by ns) "
                         "+ membership + stats JSON to this dir")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("curate")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True,
+                   help="write keep-list parquet + summary JSON here")
+    p.add_argument("--conversations", action="store_true",
+                   help="also write the agentic conversation keep-list")
+    p.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)

@@ -32,3 +32,20 @@ def test_bench_headline_prints_one_json_line(tmp_path):
     d = json.loads(lines[0])
     assert d["unit"] == "sec" and d["rows"] > 0 and "queries" in d
     assert set(d) >= {"metric", "value", "queries", "sf", "num_cpus"}
+
+
+def test_cli_curate_subprocess(tmp_path):
+    out = str(tmp_path / "curated")
+    r = _run(["-m", "oplog_analyzer_ray", "--num-cpus", "4", "curate",
+              "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+              "--conversations"], timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    stats = json.load(open(f"{out}/curate_stats.json"))
+    assert stats["documents_kept"] > 0
+    assert stats["conversations_kept"] > 0
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/documents_keep/*.parquet')"
+    ).fetchone()[0]
+    assert n == stats["documents_kept"]
