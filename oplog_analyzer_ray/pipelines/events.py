@@ -38,25 +38,45 @@ SESSION_GAP_S = 7200  # new session when idle > 2h
 SESSION_ROWS_PER_BUCKET = 500_000  # per-task slice ceiling
 
 
+def events_path(sf_dir: str) -> str:
+    """The events corpus: ``events.parquet`` (what the synthetic sf dirs
+    ship) or an ``events/`` directory of parquet files (what a real
+    multi-file corpus looks like) — same layout contract as
+    ``text.documents_path``."""
+    single = os.path.join(sf_dir, "events.parquet")
+    if os.path.exists(single):
+        return single
+    multi = os.path.join(sf_dir, "events")
+    if os.path.isdir(multi):
+        return multi
+    return single  # let the read raise the canonical file-not-found
+
+
 def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     """Column-pruned events scan; ~2 blocks per CPU so a single-file corpus
     doesn't serialize the pre-shuffle stages onto one core."""
     from .agg import dyn_buckets
 
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
+        events_path(sf_dir),
         columns=columns,
         override_num_blocks=dyn_buckets(16),
     )
 
 
 def _events_rows(sf_dir: str) -> int:
-    """Input size from the parquet footer — no data scan."""
+    """Input size from the parquet footers (summed across however many
+    files the corpus spans) — no data scan."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(
-        os.path.join(sf_dir, "events.parquet")
-    ).metadata.num_rows
+    p = events_path(sf_dir)
+    if os.path.isdir(p):
+        return sum(
+            pq.ParquetFile(os.path.join(p, e.name)).metadata.num_rows
+            for e in os.scandir(p)
+            if e.name.endswith(".parquet")
+        )
+    return pq.ParquetFile(p).metadata.num_rows
 
 
 def _cluster_cpus() -> int:

@@ -461,3 +461,32 @@ def test_documents_dir_corpus_layout_parity(tmp_path, duck):
         assert_frames_match(
             fn(str(tmp_path)), duck.execute(sql).fetchdf(), fn.__name__
         )
+
+
+def test_events_dir_corpus_layout_invariance(tmp_path):
+    """A multi-file events/ directory corpus gives identical results to the
+    single-file layout for the events ops — including the KMV sketch, whose
+    estimate must be invariant to how blocks split (distinct-union merge)."""
+    from oplog_analyzer_ray.pipelines.events import (
+        approx_distinct_users,
+        funnel,
+        retention_cohorts,
+        sessionization,
+    )
+    from .util import assert_frames_match
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(), (many / "events").mkdir(parents=True)
+    pq.write_table(t, one / "events.parquet")
+    third = t.num_rows // 3
+    pq.write_table(t.slice(0, third), many / "events" / "p0.parquet")
+    pq.write_table(t.slice(third, third), many / "events" / "p1.parquet")
+    pq.write_table(t.slice(2 * third), many / "events" / "p2.parquet")
+    for fn in (approx_distinct_users, funnel, retention_cohorts,
+               sessionization):
+        assert_frames_match(
+            fn(str(many)), fn(str(one)).to_pandas(), f"{fn.__name__}[dir]"
+        )
