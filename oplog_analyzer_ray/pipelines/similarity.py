@@ -31,13 +31,39 @@ TOP_K = 10
 LSH_PLANES = 6
 
 
+def embeddings_path(sf_dir: str) -> str:
+    """``embeddings.parquet`` (synthetic sf layout) or an ``embeddings/``
+    directory of parquet files (real multi-file corpus) — the same layout
+    contract as ``text.documents_path`` / ``events.events_path``."""
+    single = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(single):
+        return single
+    multi = os.path.join(sf_dir, "embeddings")
+    if os.path.isdir(multi):
+        return multi
+    return single  # let the read raise the canonical file-not-found
+
+
+def _emb_files(sf_dir: str) -> list[str]:
+    """The corpus parquet files, sorted — footer-level helpers iterate
+    these so pruning/sampling stay bounded per FILE, never per corpus."""
+    p = embeddings_path(sf_dir)
+    if os.path.isdir(p):
+        return sorted(
+            os.path.join(p, e.name)
+            for e in os.scandir(p)
+            if e.name.endswith(".parquet")
+        )
+    return [p]
+
+
 def read_embeddings(sf_dir: str) -> Dataset:
     """~2 blocks per CPU so single-file corpora don't serialize the matmul
     kernels onto one core (no-op cap at real many-file scale)."""
     from .agg import dyn_buckets
 
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
+        embeddings_path(sf_dir),
         override_num_blocks=dyn_buckets(16),
     )
 
@@ -70,11 +96,17 @@ def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    pf = pq.ParquetFile(path)
-    t = pf.read_row_groups(
-        _query_row_groups(path, N_QUERIES), columns=["vec_id", "embedding"]
-    ).filter(pc.less(pc.field("vec_id"), N_QUERIES))
+    parts = []
+    for path in _emb_files(sf_dir):
+        rgs = _query_row_groups(path, N_QUERIES)
+        if not rgs:  # footer-only rejection of files with no matching ids
+            continue
+        parts.append(
+            pq.ParquetFile(path)
+            .read_row_groups(rgs, columns=["vec_id", "embedding"])
+            .filter(pc.less(pc.field("vec_id"), N_QUERIES))
+        )
+    t = pa.concat_tables(parts)
     df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
@@ -226,9 +258,9 @@ EMB_TILE = 512
 def _emb_rows(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).metadata.num_rows
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in _emb_files(sf_dir)
+    )
 
 
 _PAIR_SCHEMA = pa.schema(
@@ -422,13 +454,15 @@ def _ivf_centroids(sf_dir: str) -> np.ndarray:
     docstring promised a bounded read the code didn't do)."""
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
     batches, got = [], 0
-    for b in pf.iter_batches(
-        batch_size=IVF_SAMPLE, columns=["vec_id", "embedding"]
-    ):
-        batches.append(b)
-        got += b.num_rows
+    for path in _emb_files(sf_dir):
+        for b in pq.ParquetFile(path).iter_batches(
+            batch_size=IVF_SAMPLE, columns=["vec_id", "embedding"]
+        ):
+            batches.append(b)
+            got += b.num_rows
+            if got >= IVF_SAMPLE:
+                break
         if got >= IVF_SAMPLE:
             break
     t = pa.Table.from_batches(batches)

@@ -490,3 +490,31 @@ def test_events_dir_corpus_layout_invariance(tmp_path):
         assert_frames_match(
             fn(str(many)), fn(str(one)).to_pandas(), f"{fn.__name__}[dir]"
         )
+
+
+def test_embeddings_dir_corpus_layout_invariance(tmp_path):
+    """A multi-file embeddings/ directory corpus gives identical results to
+    the single-file layout for the ANN family (query loading, IVF centroid
+    sampling and row counting all iterate the file list)."""
+    from oplog_analyzer_ray.pipelines.similarity import (
+        embedding_near_dups,
+        knn_bruteforce,
+        knn_ivf,
+    )
+    from .util import assert_frames_match
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(src)
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    one.mkdir(), (many / "embeddings").mkdir(parents=True)
+    pq.write_table(t, one / "embeddings.parquet")
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), many / "embeddings" / "p0.parquet")
+    pq.write_table(t.slice(half), many / "embeddings" / "p1.parquet")
+    for fn in (knn_bruteforce, knn_ivf, embedding_near_dups):
+        a, b = fn(str(many)), fn(str(one))
+        assert_frames_match(
+            a, b.to_pandas() if hasattr(b, "to_pandas") else b,
+            f"{fn.__name__}[dir]",
+        )
