@@ -151,8 +151,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             "filtered_events": core.filtered_events,
         }
         # table-backed training-data ops: only where the sf dir ships the
-        # side tables (the transcript-only sf5/sf10 corpora don't)
-        if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+        # side tables (the transcript-only sf5/sf10 corpora don't); the
+        # existence probe goes through the shared layout resolver so
+        # directory corpora (documents/ etc.) are benched too
+        from oplog_analyzer_ray.pipelines.corpus import corpus_path
+
+        if os.path.exists(corpus_path(sf_dir, "documents")):
             from oplog_analyzer_ray.pipelines import curate, text
 
             extra["near_dup_jaccard"] = dedup.near_dup_jaccard
@@ -160,9 +164,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             extra["decontaminate"] = text.decontaminate
             extra["token_rarity"] = text.token_rarity
         extra["conv_profiles"] = core.conv_profiles
-        if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        if os.path.exists(corpus_path(sf_dir, "embeddings")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce
-        if os.path.exists(os.path.join(sf_dir, "events.parquet")):
+        if os.path.exists(corpus_path(sf_dir, "events")):
             extra["sessionization"] = evmod.sessionization
         for qname, fn in extra.items():
             t0 = time.monotonic()

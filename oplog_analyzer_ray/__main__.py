@@ -210,14 +210,15 @@ def cmd_curate(args) -> None:
     from .pipelines.curate import curated_corpus
 
     os.makedirs(args.out, exist_ok=True)
-    kept = curated_corpus(args.sf_dir)
+    # materialize once: write_parquet + count on a lazy Dataset would
+    # otherwise re-run the whole curation DAG twice
+    kept = curated_corpus(args.sf_dir).materialize()
     kept.write_parquet(os.path.join(args.out, "documents_keep"))
-    n_docs = kept.count()
-    stats = {"documents_kept": n_docs}
+    stats = {"documents_kept": kept.count()}
     if args.conversations:
         from .pipelines.core import curated_conversations
 
-        conv = curated_conversations(args.sf_dir)
+        conv = curated_conversations(args.sf_dir).materialize()
         conv.write_parquet(os.path.join(args.out, "conversations_keep"))
         stats["conversations_kept"] = conv.count()
     with open(os.path.join(args.out, "curate_stats.json"), "w") as f:

@@ -39,17 +39,11 @@ SESSION_ROWS_PER_BUCKET = 500_000  # per-task slice ceiling
 
 
 def events_path(sf_dir: str) -> str:
-    """The events corpus: ``events.parquet`` (what the synthetic sf dirs
-    ship) or an ``events/`` directory of parquet files (what a real
-    multi-file corpus looks like) — same layout contract as
-    ``text.documents_path``."""
-    single = os.path.join(sf_dir, "events.parquet")
-    if os.path.exists(single):
-        return single
-    multi = os.path.join(sf_dir, "events")
-    if os.path.isdir(multi):
-        return multi
-    return single  # let the read raise the canonical file-not-found
+    """The events corpus: single file or ``events/`` directory (shared
+    layout contract — see :mod:`.corpus`)."""
+    from .corpus import corpus_path
+
+    return corpus_path(sf_dir, "events")
 
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
@@ -67,16 +61,9 @@ def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
 def _events_rows(sf_dir: str) -> int:
     """Input size from the parquet footers (summed across however many
     files the corpus spans) — no data scan."""
-    import pyarrow.parquet as pq
+    from .corpus import corpus_rows
 
-    p = events_path(sf_dir)
-    if os.path.isdir(p):
-        return sum(
-            pq.ParquetFile(os.path.join(p, e.name)).metadata.num_rows
-            for e in os.scandir(p)
-            if e.name.endswith(".parquet")
-        )
-    return pq.ParquetFile(p).metadata.num_rows
+    return corpus_rows(sf_dir, "events")
 
 
 def _cluster_cpus() -> int:
@@ -97,16 +84,51 @@ def session_buckets(sf_dir: str) -> int:
     return max(2 * _cluster_cpus(), by_rows)
 
 
-def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
-    """Per-user gap sessions: (user_id, session_id, n_events, start_ts,
-    end_ts, sum_value) with session_id dense from 0 per user."""
-    buckets = n_buckets or session_buckets(sf_dir)
+# KMV sketch size: small enough that the under-k exact branch is exercised
+# at sf0.001 (15 users) while the sketch branch fires from sf0.01 up (150+)
+KMV_K = 64
+_KMV_MASK = (1 << 63) - 1  # 63-bit hash space: BIGINT-safe on both engines
+
+
+def _user_bucketer(buckets: int):
+    """Vectorized user-hash bucket assigner shared by every per-user
+    bucketed operator (one definition so bucketing semantics cannot
+    drift between sessionization / funnel / retention)."""
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
         df["_bucket"] = (h % buckets).astype("int64")
         return df
+
+    return add_bucket
+
+
+def _kmv_hashes(uniq) -> "np.ndarray":
+    """Sorted distinct 63-bit md5 hashes of the given ids — the KMV hash
+    function, defined once so both sketch variants stay mergeable."""
+    import hashlib
+
+    import numpy as np
+
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(u)).encode()).digest()[:8], "big")
+            & _KMV_MASK
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return np.unique(hs)
+
+
+def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
+    """Per-user gap sessions: (user_id, session_id, n_events, start_ts,
+    end_ts, sum_value) with session_id dense from 0 per user."""
+    buckets = n_buckets or session_buckets(sf_dir)
+
+    add_bucket = _user_bucketer(buckets)
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
@@ -323,11 +345,7 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
 
     buckets = n_buckets or session_buckets(sf_dir)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-        df["_bucket"] = (h % buckets).astype("int64")
-        return df
+    add_bucket = _user_bucketer(buckets)
 
     def reach(df: pd.DataFrame) -> pd.DataFrame:
         t = None  # per-user reach time of the previous stage
@@ -357,9 +375,20 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
         partial,
         GroupSpec(keys=("stage", "event_type"), count=False, sum_cols=("users",)),
     )
-    t = pa.concat_tables(ray.get(g.to_arrow_refs())).sort_by("stage")
-    users = t.column("sum_users").to_numpy().astype(np.int64)
-    u1 = int(users[0]) if len(users) else 0
+    refs = g.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    merged: dict[int, int] = {}
+    for t in tables:
+        merged.update(
+            zip(t.column("stage").to_pylist(), t.column("sum_users").to_pylist())
+        )
+    # always emit one row per stage (an empty or view-less corpus still has
+    # a 3-row funnel of zeros — matches the oracle's UNION ALL shape)
+    users = np.array(
+        [int(merged.get(i + 1, 0)) for i in range(len(FUNNEL_STEPS))],
+        dtype=np.int64,
+    )
+    u1 = int(users[0])
     conv = (
         np.floor((users / float(u1)) * 1e6) / 1e6
         if u1
@@ -368,8 +397,10 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     return ray.data.from_arrow(
         pa.table(
             {
-                "stage": t.column("stage"),
-                "event_type": t.column("event_type"),
+                "stage": pa.array(
+                    np.arange(1, len(FUNNEL_STEPS) + 1, dtype=np.int64)
+                ),
+                "event_type": pa.array(list(FUNNEL_STEPS), pa.string()),
                 "users": pa.array(users, pa.int64()),
                 "conv_from_first": pa.array(conv, pa.float64()),
             }
@@ -399,11 +430,7 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     is int64 (micros // WEEK_US), bit-exact vs the oracle."""
     buckets = n_buckets or session_buckets(sf_dir)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-        df["_bucket"] = (h % buckets).astype("int64")
-        return df
+    add_bucket = _user_bucketer(buckets)
 
     def cells(df: pd.DataFrame) -> pd.DataFrame:
         # pin the resolution before the int view: pandas may surface the
@@ -466,10 +493,6 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     )
 
 
-# KMV sketch size: small enough that the under-k exact branch is exercised
-# at sf0.001 (15 users) while the sketch branch fires from sf0.01 up (150+)
-KMV_K = 64
-_KMV_MASK = (1 << 63) - 1  # 63-bit hash space: BIGINT-safe on both engines
 
 
 def approx_distinct_users(sf_dir: str) -> Dataset:
@@ -493,19 +516,7 @@ def approx_distinct_users(sf_dir: str) -> Dataset:
     import ray
 
     def local_kmin(df: pd.DataFrame) -> pd.DataFrame:
-        uniq = pd.unique(df["user_id"])
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.md5(str(int(u)).encode()).digest()[:8], "big"
-                )
-                & _KMV_MASK
-                for u in uniq
-            ),
-            dtype=np.int64,
-            count=len(uniq),
-        )
-        hs = np.unique(hs)  # sorted ascending
+        hs = _kmv_hashes(pd.unique(df["user_id"]))  # sorted ascending
         return pd.DataFrame({"hv": hs[:KMV_K]})
 
     parts = (
@@ -548,19 +559,7 @@ def approx_distinct_users_by_type(sf_dir: str) -> Dataset:
     def local(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for et, g in df.groupby("event_type", sort=False):
-            uniq = pd.unique(g["user_id"])
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.md5(str(int(u)).encode()).digest()[:8], "big"
-                    )
-                    & _KMV_MASK
-                    for u in uniq
-                ),
-                dtype=np.int64,
-                count=len(uniq),
-            )
-            hs = np.unique(hs)[:KMV_K]
+            hs = _kmv_hashes(pd.unique(g["user_id"]))[:KMV_K]
             outs.append(pd.DataFrame({"event_type": et, "hv": hs}))
         if not outs:
             return pd.DataFrame(

@@ -32,29 +32,19 @@ LSH_PLANES = 6
 
 
 def embeddings_path(sf_dir: str) -> str:
-    """``embeddings.parquet`` (synthetic sf layout) or an ``embeddings/``
-    directory of parquet files (real multi-file corpus) — the same layout
-    contract as ``text.documents_path`` / ``events.events_path``."""
-    single = os.path.join(sf_dir, "embeddings.parquet")
-    if os.path.exists(single):
-        return single
-    multi = os.path.join(sf_dir, "embeddings")
-    if os.path.isdir(multi):
-        return multi
-    return single  # let the read raise the canonical file-not-found
+    """The embeddings corpus: single file or ``embeddings/`` directory
+    (shared layout contract — see :mod:`.corpus`)."""
+    from .corpus import corpus_path
+
+    return corpus_path(sf_dir, "embeddings")
 
 
 def _emb_files(sf_dir: str) -> list[str]:
     """The corpus parquet files, sorted — footer-level helpers iterate
     these so pruning/sampling stay bounded per FILE, never per corpus."""
-    p = embeddings_path(sf_dir)
-    if os.path.isdir(p):
-        return sorted(
-            os.path.join(p, e.name)
-            for e in os.scandir(p)
-            if e.name.endswith(".parquet")
-        )
-    return [p]
+    from .corpus import corpus_files
+
+    return corpus_files(sf_dir, "embeddings")
 
 
 def read_embeddings(sf_dir: str) -> Dataset:

@@ -34,30 +34,20 @@ LANG_MARKERS = {
 
 
 def documents_path(sf_dir: str) -> str:
-    """The documents corpus: ``documents.parquet`` (single file — what the
-    synthetic sf dirs ship) or a ``documents/`` directory of parquet files
-    (what a real multi-file corpus looks like)."""
-    single = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(single):
-        return single
-    multi = os.path.join(sf_dir, "documents")
-    if os.path.isdir(multi):
-        return multi
-    return single  # let the read raise the canonical file-not-found
+    """The documents corpus: single file or ``documents/`` directory
+    (shared layout contract — see :mod:`.corpus`)."""
+    from .corpus import corpus_path
+
+    return corpus_path(sf_dir, "documents")
 
 
 def documents_bytes(sf_dir: str) -> int:
     """On-disk corpus size across however many files it spans (round-2's
     single-file ``getsize`` broke on exactly the layout real scale
     produces)."""
-    p = documents_path(sf_dir)
-    if os.path.isdir(p):
-        return sum(
-            e.stat().st_size
-            for e in os.scandir(p)
-            if e.name.endswith(".parquet")
-        )
-    return os.path.getsize(p)
+    from .corpus import corpus_bytes
+
+    return corpus_bytes(sf_dir, "documents")
 
 
 def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
@@ -484,13 +474,16 @@ def _eval_gram_set(sf_dir: str) -> frozenset:
 
 
 # per-worker cache: the broadcast gram set is ray.get-resolved once per
-# worker process, not once per batch (same pattern as enrich._TASK_CACHE)
-_DECON_CACHE: dict[int, frozenset] = {}
+# worker process, not once per batch (same pattern as enrich._TASK_CACHE).
+# Keyed by the ObjectRef's hex id — unique and stable, unlike id(), whose
+# CPython address can be reused by a later ref after the first is GC'd
+# (which would silently serve corpus A's gram set to corpus B's run)
+_DECON_CACHE: dict[str, frozenset] = {}
 
 
 def resolve_eval_grams(grams_ref) -> frozenset:
     """ray.get the broadcast eval gram set once per worker process."""
-    key = id(grams_ref)
+    key = grams_ref.hex()
     grams = _DECON_CACHE.get(key)
     if grams is None:
         _DECON_CACHE.clear()  # at most one eval set per worker
@@ -663,7 +656,7 @@ def source_mixture(sf_dir: str) -> Dataset:
 
 # per-worker cache for the broadcast unigram vocabulary (same pattern as
 # _DECON_CACHE: resolved once per worker process, not per batch)
-_VOCAB_CACHE: dict[int, dict] = {}
+_VOCAB_CACHE: dict[str, dict] = {}
 
 
 def _unigram_counts(sf_dir: str) -> Dataset:
@@ -712,7 +705,7 @@ def token_rarity(sf_dir: str) -> Dataset:
     vocab_ref = ray.put(vocab)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        key = id(vocab_ref)
+        key = vocab_ref.hex()  # stable ref identity (see _DECON_CACHE note)
         v = _VOCAB_CACHE.get(key)
         if v is None:
             _VOCAB_CACHE.clear()

@@ -518,3 +518,80 @@ def test_embeddings_dir_corpus_layout_invariance(tmp_path):
             a, b.to_pandas() if hasattr(b, "to_pandas") else b,
             f"{fn.__name__}[dir]",
         )
+
+
+def test_retention_pre_anchor_event_floor_division_parity(tmp_path, duck):
+    """Events BEFORE the cohort anchor must land in negative weeks on BOTH
+    sides: numpy // floors, and the oracle emulates floored division
+    (DuckDB's native // truncates toward zero, which would collapse
+    up-to-7-days-pre-anchor events into week 0)."""
+    import datetime as dt
+
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.events import retention_cohorts
+    from .util import assert_frames_match
+
+    rows = [(1, dt.datetime(2023, 12, 28)),   # 4 days pre-anchor: week -1
+            (1, dt.datetime(2024, 1, 2)),      # week 0
+            (2, dt.datetime(2023, 12, 1))]     # week -5
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    got = retention_cohorts(str(tmp_path)).to_pandas()
+    want = duck.execute(oracle.RETENTION_COHORTS).fetchdf()
+    assert_frames_match(got, want, "retention[pre-anchor]")
+    assert set(got["cohort_week"]) == {-1, -5}
+    # user 1: cohort -1, active weeks -1 and 0 -> offsets {0, 1}
+    u1 = got[got.cohort_week == -1].set_index("week_offset")["users"]
+    assert dict(u1) == {0: 1, 1: 1}
+
+
+def test_funnel_no_view_corpus_parity(tmp_path, duck):
+    """A corpus with zero stage-1 events still yields the 3-row funnel with
+    users=0 and conv_from_first=0.0 on BOTH sides (no 0/0 NULL, no
+    missing rows)."""
+    import datetime as dt
+
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.events import funnel
+    from .util import assert_frames_match
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "ts": pa.array(
+                    [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"]),
+                "value": pa.array([1.0, 2.0]),
+                "props": pa.array(["{}", "{}"]),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    got = funnel(str(tmp_path)).to_pandas()
+    want = duck.execute(oracle.FUNNEL).fetchdf()
+    assert_frames_match(got, want, "funnel[no-view]")
+    assert list(got["users"]) == [0, 0, 0]
+    assert list(got["conv_from_first"]) == [0.0, 0.0, 0.0]
