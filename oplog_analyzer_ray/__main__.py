@@ -53,6 +53,11 @@ def cmd_route(args) -> None:
             if getattr(args, "start_ts", None)
             else None
         ),
+        end_ts=(
+            parse_iso_ts(args.end_ts)
+            if getattr(args, "end_ts", None)
+            else None
+        ),
     )
     totals = manifest.sink_totals()
     print(f"routed {sum(totals.values())} events over "
@@ -243,6 +248,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--start-ts", default=None,
                    help="ISO-8601 time-range seek pushed into the scan "
                         "(the --startTs graft)")
+    p.add_argument("--end-ts", default=None,
+                   help="ISO-8601 upper time bound pushed into the scan "
+                        "(the -e/--endTime graft; closed interval)")
     p.set_defaults(fn=cmd_route)
 
     p = sub.add_parser("tail")

@@ -475,26 +475,35 @@ def routed_text(sf_dir: str) -> Dataset:
 
 
 FILTER_TS_BOUND = _dt.datetime(2025, 1, 1, 0, 5, 0)
+# F7 upper bound (the -e/--endTime graft, ScanCommand.java:50,259-267): the
+# reference replays a CLOSED window [start, end]; round 3 pushed only the
+# lower bound
+FILTER_TS_UPPER = _dt.datetime(2025, 1, 1, 1, 0, 0)
 
 
-def filtered_transcript_scan(sf_dir: str) -> Dataset:
-    """S1/F7: the raw scan with the time-range predicate pushed into
-    ``read_parquet`` itself (ScanCommand.java:259-267's --startTs seek
-    contract).  Row groups whose ts statistics fall wholly below the bound
-    never leave storage — at 100 TB with a narrow window this is the
-    difference between scanning everything and scanning a sliver."""
+def filtered_transcript_scan(
+    sf_dir: str, start_ts=None, end_ts=None
+) -> Dataset:
+    """S1/F7: the raw scan with the CLOSED time-range predicate pushed into
+    ``read_parquet`` itself (ScanCommand.java:259-267's --startTs/--endTime
+    seek contract).  Row groups whose ts statistics fall wholly outside
+    [start, end] never leave storage — at 100 TB with a narrow window this
+    is the difference between scanning everything and scanning a sliver."""
     import pyarrow.dataset as pads
 
+    start = FILTER_TS_BOUND if start_ts is None else start_ts
+    end = FILTER_TS_UPPER if end_ts is None else end_ts
     path = ensure_transcripts(sf_dir)
     return ray.data.read_parquet(
-        path, filter=(pads.field("ts") >= FILTER_TS_BOUND)
+        path,
+        filter=(pads.field("ts") >= start) & (pads.field("ts") <= end),
     )
 
 
 def filtered_events(sf_dir: str) -> Dataset:
-    """F2/F3/F4/F7 combined: time range pushed down into the parquet scan
-    (``filtered_transcript_scan``), then op allow-list ∧ ns allow-list ∧
-    size range as one vectorized post-parse mask.
+    """F2/F3/F4/F7 combined: CLOSED time range pushed down into the parquet
+    scan (``filtered_transcript_scan``), then op allow-list ∧ ns allow-list
+    ∧ size range as one vectorized post-parse mask.
 
     Source selection: if this session already pinned the parsed event cache
     (a many-query sweep), filtering the cached events beats re-reading; on
@@ -516,8 +525,15 @@ def filtered_events(sf_dir: str) -> Dataset:
     if cached is not None:
         ds = _mask_batches(
             cached,
-            lambda t: pc.greater_equal(
-                t.column("ts"), pa.scalar(FILTER_TS_BOUND, pa.timestamp("us"))
+            lambda t: pc.and_(
+                pc.greater_equal(
+                    t.column("ts"),
+                    pa.scalar(FILTER_TS_BOUND, pa.timestamp("us")),
+                ),
+                pc.less_equal(
+                    t.column("ts"),
+                    pa.scalar(FILTER_TS_UPPER, pa.timestamp("us")),
+                ),
             ),
         )
     else:
@@ -583,6 +599,45 @@ def threshold_alerts(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).sort(["conv_id", "turn_idx"])
+
+
+def threshold_alerts_full(sf_dir: str) -> Dataset:
+    """F5 + M6 composed: the ``--fullDocument`` alert detail — each
+    threshold-exceeding PARENT event carries its redacted document text as
+    the alert payload (TailCommand.java:86 wires fullDocument into the
+    threshold log line; 1179-1254 is the redactor it runs through).  Child
+    (flattened) events have no document of their own, so the full-document
+    surface is the event_seq=0 rows; redaction reuses the exact
+    ``redacted_docs`` token contract."""
+    from .analyze import NOTE_TOKEN_STRIP, TOOL_TOKEN_SUMMARY
+
+    ev = _mask_batches(
+        event_dataset(sf_dir, with_text=True),
+        lambda t: pc.and_(
+            pc.and_(
+                _ok(t), pc.greater_equal(t.column("size"), ALERT_THRESHOLD)
+            ),
+            pc.equal(t.column("event_seq"), 0),
+        ),
+    )
+
+    def redact(t: pa.Table) -> pa.Table:
+        txt = pc.replace_substring_regex(t.column("text"), NOTE_TOKEN_STRIP, "")
+        txt = pc.replace_substring_regex(txt, *TOOL_TOKEN_SUMMARY)
+        return pa.table(
+            {
+                "ns": t.column("ns"),
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx"),
+                "op_class": t.column("op_class"),
+                "size": t.column("size"),
+                "redacted_text": txt,
+            }
+        )
+
+    return ev.map_batches(redact, batch_format="pyarrow").sort(
+        ["conv_id", "turn_idx"]
+    )
 
 
 def hot_keys_thresholded(sf_dir: str, k: int = 20) -> Dataset:

@@ -68,6 +68,41 @@ MINHASH_A = [((2654435761 * (i + 1)) % ((1 << 31) - 107)) | 1 for i in range(MIN
 MINHASH_B = [(40503 * (i + 13)) % ((1 << 31) - 107) for i in range(MINHASH_K)]
 
 
+# ---------------------------------------------------------------- chain cache
+# The dedup chain (signatures → bands → candidates → verified pairs →
+# clusters) feeds FOUR query surfaces (lsh_candidate_pairs, near_dup_jaccard,
+# dedup_clusters, curated_corpus); a many-query sweep re-derived it from
+# scratch each time — ~3× the chain per driver sweep, its single biggest
+# cost.  Same session-cache pattern as core._EVENT_CACHE: key on
+# (sf_dir, stage, ray job id), materialize into the (spillable) object
+# store, and GATE on the on-disk corpus size so a 100 TB corpus streams
+# instead of pinning the store (the cached tables are pair/decision-sized —
+# far smaller than the corpus — but a conservative gate on the input size
+# keeps the policy obviously safe).
+_CHAIN_CACHE: dict = {}
+CHAIN_CACHE_MAX_BYTES = int(
+    __import__("os").environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", int(2e9))
+)
+
+
+def _chain_cached(sf_dir: str, stage: str, make) -> Dataset:
+    """Return ``make()`` materialized + memoized for this Ray session, or
+    the streaming (uncached) plan when the corpus is too big to pin."""
+    from .core import _session_token
+    from .text import documents_bytes
+
+    if documents_bytes(sf_dir) > CHAIN_CACHE_MAX_BYTES:
+        return make()
+    key = (sf_dir, stage, _session_token())
+    ds = _CHAIN_CACHE.get(key)
+    if ds is None:
+        ds = make().materialize()
+        if len(_CHAIN_CACHE) > 12:
+            _CHAIN_CACHE.clear()
+        _CHAIN_CACHE[key] = ds
+    return ds
+
+
 # ------------------------------------------------------------------ helpers
 def _shingles(text: str) -> list[str]:
     t = text.split(" ")
@@ -296,7 +331,13 @@ def _candidate_pairs_ds(sf_dir: str) -> Dataset:
     the shared core of ``lsh_candidate_pairs`` (which adds the
     deterministic report ordering) and ``near_dup_jaccard`` (which feeds
     the pairs straight into the verify join; ordering there would be a
-    wasted all-to-all)."""
+    wasted all-to-all).  Session-memoized (see ``_chain_cached``)."""
+    return _chain_cached(
+        sf_dir, "candidate_pairs", lambda: _candidate_pairs_uncached(sf_dir)
+    )
+
+
+def _candidate_pairs_uncached(sf_dir: str) -> Dataset:
     sigs = minhash_signatures(sf_dir)
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
     buckets = dyn_buckets(MERGE_BUCKETS)
@@ -390,6 +431,15 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
 
 
 def _jaccard_pairs(sf_dir: str) -> Dataset:
+    """Session-memoized verified near-dup pair set (see ``_chain_cached``) —
+    consumed by ``near_dup_jaccard``, ``dedup_decision`` and
+    ``curate.curated_corpus`` without re-running the LSH→verify chain."""
+    return _chain_cached(
+        sf_dir, "jaccard_pairs", lambda: _jaccard_pairs_uncached(sf_dir)
+    )
+
+
+def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
     """Exact word-3-gram Jaccard for the LSH candidates, thresholded.
 
     Fully distributed doc_id-bucketed two-hop join (the 100 TB path): hop 1
@@ -457,30 +507,64 @@ def _jaccard_pairs(sf_dir: str) -> Dataset:
         )
     )
 
+    _EMPTY_VERIFIED = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
     def verify(group: pa.Table) -> pa.Table:
+        """Exact |A∩B| / |A∪B| per candidate pair, fully vectorized: both
+        shingle columns hold DISTINCT sorted elements (built that way in
+        ``_shingle_side``), so the intersection size is an exploded
+        (pair_idx, shingle) ⨝ (doc_b, shingle) hash join — C-level pandas
+        merge + bincount — and the union is |A| + |B| − |A∩B| from the
+        Arrow list lengths.  Replaces the round-3 per-pair Python
+        ``set(a) & set(b)`` loop (the hottest remaining Python loop)."""
         build_mask = pc.equal(group.column("peer"), -1)
         build = group.filter(build_mask)
         probe = group.filter(pc.invert(build_mask))
-        lut = dict(
-            zip(build.column("join_id").to_pylist(), build.column("sh").to_pylist())
+        n = probe.num_rows
+        if n == 0:
+            return _EMPTY_VERIFIED
+        a_col = probe.column("sh_peer").combine_chunks()
+        b_col = build.column("sh").combine_chunks()
+        sh_a = pc.list_flatten(a_col)
+        par_a = pc.list_parent_indices(a_col).to_numpy()
+        sh_b = pc.list_flatten(b_col)
+        par_b = pc.list_parent_indices(b_col).to_numpy()
+        # map each probe row to its build-side row (doc_b's shingle set)
+        bpos = pc.index_in(
+            probe.column("join_id"), value_set=build.column("join_id")
+        ).to_numpy(zero_copy_only=False)
+        left = pd.DataFrame(
+            {"b": bpos[par_a].astype(np.int64), "s": sh_a.to_pandas(), "p": par_a}
         )
-        doc_a, doc_b, jac = [], [], []
-        for row_b, row_a, sh_a in zip(
-            probe.column("join_id").to_pylist(),
-            probe.column("peer").to_pylist(),
-            probe.column("sh_peer").to_pylist(),
-        ):
-            a, b = set(sh_a), set(lut[row_b])
-            j = len(a & b) / len(a | b)
-            if j >= JACCARD_THRESHOLD:
-                doc_a.append(row_a)
-                doc_b.append(row_b)
-                jac.append(np.floor(j * 1e6) / 1e6)
+        right = pd.DataFrame({"b": par_b.astype(np.int64), "s": sh_b.to_pandas()})
+        hit = left.merge(right, on=["b", "s"], how="inner", copy=False)
+        inter = np.bincount(hit["p"].to_numpy(), minlength=n).astype(np.int64)
+        len_a = pc.list_value_length(probe.column("sh_peer")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        len_b_all = pc.list_value_length(build.column("sh")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        union = len_a + len_b_all[bpos] - inter
+        j = inter / union
+        keep = j >= JACCARD_THRESHOLD
         return pa.table(
             {
-                "doc_a": pa.array(doc_a, pa.int64()),
-                "doc_b": pa.array(doc_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                "doc_a": probe.column("peer").take(
+                    pa.array(np.flatnonzero(keep))
+                ),
+                "doc_b": probe.column("join_id").take(
+                    pa.array(np.flatnonzero(keep))
+                ),
+                "jaccard": pa.array(
+                    np.floor(j[keep] * 1e6) / 1e6, pa.float64()
+                ),
             }
         )
 
@@ -615,6 +699,14 @@ def dedup_clusters(sf_dir: str) -> Dataset:
 
 
 def dedup_decision(sf_dir: str) -> Dataset:
+    """Session-memoized dedup decision table (see ``_chain_cached``) —
+    consumed by both ``dedup_clusters`` and ``curate.curated_corpus``."""
+    return _chain_cached(
+        sf_dir, "dedup_decision", lambda: _dedup_decision_uncached(sf_dir)
+    )
+
+
+def _dedup_decision_uncached(sf_dir: str) -> Dataset:
     """Near-dup cluster assignment: hash-min connected components over the
     exact-Jaccard pair graph, then the full dedup DECISION table
     ``(doc_id, cluster_id, cluster_size, is_canonical)`` — cluster_id is
@@ -716,6 +808,7 @@ def dedup_decision(sf_dir: str) -> Dataset:
                 ]
             )
 
+        converged = False
         for _ in range(CC_MAX_ROUNDS):
             msgs = (
                 labels.map_batches(tag_labels, batch_format="pyarrow")
@@ -741,8 +834,21 @@ def dedup_decision(sf_dir: str) -> Dataset:
             )
             new_sum = labels.sum("lbl")
             if new_sum == lbl_sum:  # labels are monotone ⇒ sum fixpoint = CC
+                converged = True
                 break
             lbl_sum = new_sum
+        if not converged:
+            # hash-min moves labels one hop per round, so a component whose
+            # diameter exceeds CC_MAX_ROUNDS would silently exit here with
+            # SPLIT clusters (wrong cluster_id / is_canonical).  Fail loudly
+            # instead of emitting a wrong decision table; a corpus with
+            # >64-hop near-dup chains needs a pointer-jumping exchange (or a
+            # higher cap), not a quiet approximation.
+            raise RuntimeError(
+                f"dedup_decision: connected-components did not converge in "
+                f"{CC_MAX_ROUNDS} rounds (component diameter exceeds the "
+                f"cap); refusing to emit split clusters"
+            )
 
     # decision table over ALL docs: coalesce missing labels to self …
     docs = read_documents(sf_dir, ["doc_id"]).map_batches(

@@ -190,8 +190,15 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
             .sort_values("ts", kind="mergesort")
             .reset_index(drop=True)
         )
+        # canonicalize same-timestamp clicks BEFORE the as-of join: keep the
+        # max event_id per (user_id, ts).  pandas merge_asof picks the LAST
+        # equal-ts duplicate while DuckDB's ASOF choice among ties is
+        # contractually undefined — after this reduction (mirrored in the
+        # oracle SQL) both engines attribute ties identically.
         c = (
             df[df["event_type"] == "click"]
+            .groupby(["user_id", "ts"], as_index=False, sort=False)
+            .agg(event_id=("event_id", "max"))
             .sort_values("ts", kind="mergesort")
             .reset_index(drop=True)
         )

@@ -138,14 +138,16 @@ def route(
     max_commits: int | None = None,
     shard_indexes: list[int] | None = None,
     start_ts=None,
+    end_ts=None,
 ) -> Manifest:
     """Parse → enrich → fan out to per-(part, sink) parquet; resumable.
 
     ``shard_indexes`` selects a subset of the sorted input shards by index
     (F8, the ``--shardIndex`` graft, ScanCommand.java:166-196).
-    ``start_ts`` pushes the time-range seek into the parquet scan itself
-    (S1/M9, the ``--startTs`` graft, ScanCommand.java:101-134, 259-267):
-    row groups wholly before the bound never leave storage."""
+    ``start_ts`` / ``end_ts`` push the CLOSED time-range seek into the
+    parquet scan itself (S1/M9/F7, the ``--startTs``/``--endTime`` grafts,
+    ScanCommand.java:50, 101-134, 259-267): row groups wholly outside
+    [start, end] never leave storage."""
     src_dir = ensure_transcripts(sf_dir)
     files = sorted(
         os.path.join(src_dir, f)
@@ -178,10 +180,16 @@ def route(
         # one per (task, part-fragment, sink) — output file count bounds the
         # read-planning cost of every later pass over the routed data
         read_kwargs = {"include_paths": True, "override_num_blocks": len(group)}
-        if start_ts is not None:
+        if start_ts is not None or end_ts is not None:
             import pyarrow.dataset as pads
 
-            read_kwargs["filter"] = pads.field("ts") >= start_ts
+            expr = None
+            if start_ts is not None:
+                expr = pads.field("ts") >= start_ts
+            if end_ts is not None:
+                upper = pads.field("ts") <= end_ts
+                expr = upper if expr is None else (expr & upper)
+            read_kwargs["filter"] = expr
         ds = ray.data.read_parquet(group, **read_kwargs)
         ds = ds.map_batches(_add_part, batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(
@@ -264,21 +272,28 @@ def _write_and_partial(batch: pa.Table, data_dir: str, plan) -> pa.Table:
     hive-partitioned routed layout AND return its union-schema aggregation
     partials (tiny: groups-per-block rows).
 
-    The basename is a content hash of the block's key span, so a RETRIED
-    task overwrites its own files byte-for-byte instead of duplicating rows
-    (Ray Data's own write_parquet gets the same guarantee from task-indexed
-    filenames), and distinct blocks of one part can't collide."""
+    The basename is a content hash over the FULL identity-column contents
+    of the block (vectorized siphash per column, sha1 over the digest
+    arrays), so a RETRIED task overwrites its own files byte-for-byte
+    instead of duplicating rows (Ray Data's own write_parquet gets the same
+    guarantee from task-indexed filenames) while two DISTINCT blocks can
+    never collide.  Round 3 hashed only the first/last key values + row
+    count — two batches of one hot (conv_id, turn_idx) group with equal
+    endpoints and counts silently overwrote each other under
+    ``overwrite_or_ignore``."""
     import hashlib
 
+    import pandas as pd
     import pyarrow.dataset as pads
 
     if batch.num_rows == 0:
         return plan.multi_partial(batch)
     h = hashlib.sha1()
-    for c in ("part", "conv_id", "turn_idx"):
-        col = batch.column(c)
-        h.update(str(col[0].as_py()).encode())
-        h.update(str(col[-1].as_py()).encode())
+    for c in ("part", "sink", "conv_id", "turn_idx", "event_seq"):
+        if c not in batch.column_names:
+            continue
+        vals = batch.column(c).to_numpy(zero_copy_only=False)
+        h.update(pd.util.hash_array(vals, categorize=False).tobytes())
     h.update(str(batch.num_rows).encode())
     # zstd over the default snappy: 2.4x fewer routed bytes (2.16 -> 0.90 GB
     # at sf5) for a small CPU premium — a straight win on both the

@@ -17,7 +17,6 @@ end-to-end even without a codec.
 from __future__ import annotations
 
 import hashlib
-import os
 
 import numpy as np
 import pyarrow as pa
@@ -25,6 +24,8 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
+
+from ..pipelines.text import documents_path
 
 # wide payloads → small batches so batch × concurrency fits worker heap
 MEDIA_BATCH_SIZE = 64
@@ -151,7 +152,7 @@ def media_frame_sample(sf_dir: str) -> Dataset:
     frame byte-slice fingerprints.  Oracle: unnest(range(...)) + BLOB
     substring/md5 SQL over the same rows."""
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        documents_path(sf_dir), columns=["doc_id", "text"]
     )
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -230,7 +231,7 @@ def media_resize(sf_dir: str) -> Dataset:
     query surface drops the binary column (oracle compares the metadata +
     fingerprint; the payload is the downstream input, not the report)."""
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        documents_path(sf_dir), columns=["doc_id", "text"]
     )
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -260,7 +261,7 @@ def media_features(sf_dir: str) -> Dataset:
     """documents.text re-encoded as a binary payload column → actor-pool
     feature extraction.  Oracle: octet_length/md5 SQL over the same rows."""
     docs = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        documents_path(sf_dir), columns=["doc_id", "text"]
     )
 
     def to_payload(t: pa.Table) -> pa.Table:

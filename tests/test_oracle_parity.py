@@ -32,6 +32,7 @@ _TRANSCRIPT_BODIES = {
     "routed_text": oracle.ROUTED_TEXT,
     "first_events": oracle.FIRST_EVENTS,
     "threshold_alerts": oracle.THRESHOLD_ALERTS,
+    "threshold_alerts_full": oracle.THRESHOLD_ALERTS_FULL,
     "hot_keys_thresholded": oracle.HOT_KEYS_THRESHOLDED,
     "hot_keys_docsize": oracle.HOT_KEYS_DOCSIZE,
     "hot_keys_docsize_external": oracle.EXT_DOCSIZE_HOT_KEYS,

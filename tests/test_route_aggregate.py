@@ -139,3 +139,42 @@ def test_fused_write_is_retry_idempotent(tmp_path):
 
     ds = ray.data.read_parquet(d)
     assert ds.count() == 4  # still 4 rows, not 8
+
+
+def test_fused_basename_no_collision_on_equal_endpoints(tmp_path):
+    """Two DISTINCT batches whose key-span endpoints and row counts coincide
+    (a hot (conv_id, turn_idx) group split across batches) must write two
+    distinct files — round 3 hashed only endpoints + count, so the second
+    batch silently overwrote the first under overwrite_or_ignore."""
+    import glob
+
+    import pyarrow as pa
+
+    from oplog_analyzer_ray.pipelines.route import _write_and_partial
+
+    class _Plan:
+        @staticmethod
+        def multi_partial(batch):
+            return batch.select(["part", "sink"])
+
+    def mk(seqs):
+        n = len(seqs)
+        return pa.table(
+            {
+                "part": pa.array(["p0"] * n),
+                "sink": pa.array(["s"] * n),
+                "conv_id": pa.array(["c1"] * n),
+                "turn_idx": pa.array([7] * n, pa.int64()),
+                "event_seq": pa.array(seqs, pa.int64()),
+            }
+        )
+
+    d = str(tmp_path / "data")
+    _write_and_partial(mk([0, 1, 2, 3]), d, _Plan)
+    _write_and_partial(mk([0, 5, 6, 3]), d, _Plan)  # same endpoints + count
+    files = glob.glob(f"{d}/part=p0/sink=s/*.parquet")
+    assert len(files) == 2
+    import pyarrow.parquet as pq
+
+    total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    assert total == 8

@@ -114,3 +114,38 @@ def test_filtered_scan_pushdown_prunes_rows():
     total = read_transcripts(SF_DIR).count()
     pushed = filtered_transcript_scan(SF_DIR).count()
     assert 0 < pushed < total
+
+
+def test_route_end_ts_pushdown(tmp_path):
+    """route(end_ts=...) caps the replay window at the scan (the
+    -e/--endTime graft): fewer events land in every sink and the committed
+    watermark stops at the bound instead of the corpus tail."""
+    import datetime as dt
+
+    from oplog_analyzer_ray.pipelines.route import route
+
+    full = route(SF_DIR, str(tmp_path / "full"))
+    part = route(
+        SF_DIR,
+        str(tmp_path / "cap"),
+        end_ts=dt.datetime(2025, 1, 1, 0, 7, 0),  # mid-corpus cap
+    )
+    tf, tp = full.sink_totals(), part.sink_totals()
+    assert 0 < sum(tp.values()) < sum(tf.values())
+    assert part.watermark() < full.watermark()  # end bound caps max_ts
+    assert part.watermark() <= "2025-01-01T00:07:00"
+
+
+def test_filtered_scan_upper_bound_prunes_rows():
+    """The UPPER ts bound also runs inside read_parquet: an early end bound
+    with a no-op start bound yields strictly fewer rows than the corpus —
+    row groups wholly after the bound never leave storage."""
+    import datetime as dt
+
+    total = read_transcripts(SF_DIR).count()
+    capped = filtered_transcript_scan(
+        SF_DIR,
+        start_ts=dt.datetime(2024, 1, 1),  # before the corpus: no-op
+        end_ts=dt.datetime(2025, 1, 1, 0, 7, 0),
+    ).count()
+    assert 0 < capped < total
