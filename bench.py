@@ -70,9 +70,19 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         logging_level="ERROR",
         object_store_memory=store,
     )
+    import logging
+
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    # Ray's sort emits schema-less EMPTY blocks for empty partitions (e.g. a
+    # final tiny sort wider than its distinct keys), and
+    # streaming_executor_state warns on every one — benign, but it buries
+    # real warnings in the bench tail.  Not fixable from UDF return values
+    # (the empty bundles are produced by the sort operator itself).
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     from oplog_analyzer_ray.pipelines import core
     from oplog_analyzer_ray.synth import ensure_transcripts

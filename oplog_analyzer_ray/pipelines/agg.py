@@ -185,6 +185,36 @@ def _pick_spec(t: pa.Table, spec_idx: int | None, cols: list[str] | None):
     return t.filter(pc.equal(t.column("_spec"), spec_idx)).select(cols)
 
 
+# dictionary-encode a string column of an exchange slice only when it
+# actually compresses: repeated key strings (ns/sink: dozens of distinct
+# values across millions of partial rows) shrink to small-int indices + one
+# tiny dictionary, while near-unique strings (conv_id in hot-key partials)
+# would pay index overhead for nothing.  Decided PER SLICE — encoding before
+# the split would ship the whole block-wide dictionary with every one of
+# ``buckets`` slices (a buckets× amplification of exactly the wrong bytes).
+_DICT_ENCODE_MAX_RATIO = 0.5
+
+
+def _encode_exchange(t: pa.Table) -> pa.Table:
+    if t.num_rows < 64:
+        return t
+    out = t
+    for i, f in enumerate(t.schema):
+        if not pa.types.is_string(f.type):
+            continue
+        enc = pc.dictionary_encode(t.column(f.name).combine_chunks())
+        if len(enc.dictionary) <= _DICT_ENCODE_MAX_RATIO * t.num_rows:
+            out = out.set_column(i, f.name, enc)
+    return out
+
+
+def _decode_exchange(t: pa.Table) -> pa.Table:
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, pc.cast(t.column(f.name), f.type.value_type))
+    return t
+
+
 @ray.remote
 def _split_task(
     t: pa.Table,
@@ -195,14 +225,18 @@ def _split_task(
 ):
     """Map side of the hand-rolled hash exchange: one pass that orders the
     block by bucket and returns ``buckets`` contiguous slices (Ray scatters
-    them as separate objects via ``num_returns``)."""
+    them as separate objects via ``num_returns``), each with its repeated
+    string key columns dictionary-encoded so the exchange moves int indices
+    instead of full strings."""
     t = _pick_spec(t, spec_idx, cols)
     b = _bucket_np(t, keys, buckets)
     order = np.argsort(b, kind="stable")
     t2 = t.take(pa.array(order))
     cuts = np.searchsorted(b[order], np.arange(buckets + 1))
     return [
-        t2.slice(cuts[i], cuts[i + 1] - cuts[i]).combine_chunks()
+        _encode_exchange(
+            t2.slice(cuts[i], cuts[i + 1] - cuts[i]).combine_chunks()
+        )
         for i in range(buckets)
     ]
 
@@ -211,8 +245,12 @@ def _split_task(
 def _merge_task(spec: GroupSpec, names: dict, *shards: pa.Table) -> pa.Table:
     """Reduce side: every partial of a key lands in exactly one bucket, so
     one vectorized arrow ``group_by`` over the concatenated shards is the
-    exact merge."""
-    out = _combine_partials(pa.concat_tables(shards), spec)
+    exact merge.  Dictionary key columns (from the split-side encoding)
+    decode back to plain strings first — each shard carries its own
+    dictionary, so a plain concat would need a unification pass anyway."""
+    out = _combine_partials(
+        pa.concat_tables([_decode_exchange(s) for s in shards]), spec
+    )
     return out.rename_columns([names.get(c, c) for c in out.column_names])
 
 
