@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize,  # binary-out resize plumbing
         # --- new this round ---
         "threshold_alerts_full": core.threshold_alerts_full,  # F5 + M6 payload
+        "pack_sequences": text.pack_sequences,  # distributed prefix scan
         # --- transcript log pipeline (SURVEY.md §2; north-rule surface) ---
         "sink_counts": core.sink_counts,  # A1/A4/A8 exact-match target
         "bucket_histogram": core.bucket_histogram,  # A2
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         # training-data ops (documents/events/embeddings views) — every op
         # has a full SQL oracle, including the ANN family (see below)
         "token_counts": oracle.TOKEN_COUNTS,
+        "pack_sequences": oracle.PACK_SEQUENCES,
         "decontaminate": oracle.DECONTAMINATE,
         "repetition_scores": oracle.REPETITION_SCORES,
         "source_mixture": oracle.SOURCE_MIXTURE,

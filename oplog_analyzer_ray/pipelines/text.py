@@ -730,3 +730,99 @@ def token_rarity(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+# --------------------------------------------------------------- packing
+# Training-sequence packing (the concat-then-chunk pretraining layout): the
+# corpus token stream, in doc_id order, is cut into fixed PACK_SEQ_TOKENS
+# windows; each document is tagged with the sequence its first token lands
+# in and its offset within it.
+PACK_SEQ_TOKENS = 512
+
+
+def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
+    """Sequence packing as a DISTRIBUTED PREFIX SCAN — the shape that holds
+    at 100 TB, where the running token total is inherently sequential but
+    the corpus is not driver-sized:
+
+    1. ONE pass over the text computes ``(doc_id, n_tokens)`` — int rows
+       (~16 B/doc) regardless of document width; only these move on.
+    2. doc_id RANGE partition (bounds from the parquet footer statistics —
+       no data pass): each range task exclusive-prefix-sums its own docs.
+    3. The R per-range totals (R ≈ 2×cluster CPUs) are exclusive-scanned on
+       the driver — the only sequential step, O(R) ints — and closed over.
+    4. A final vectorized per-range pass adds the range offset:
+       ``seq_id = cum_excl // PACK_SEQ_TOKENS``, ``seq_off = cum_excl %``.
+
+    Token convention: split on single space (n = count(' ') + 1, empty text
+    = 1 token), exactly DuckDB's ``len(string_split(text, ' '))`` — the
+    oracle re-derives the packing with a SQL window function
+    (oracle.PACK_SEQUENCES)."""
+    import pyarrow.parquet as pq
+
+    from .agg import GroupSpec, dyn_buckets, grouped
+    from .corpus import corpus_files
+
+    # doc_id bounds from footer statistics (cheap, no data pass)
+    dmin, dmax = None, None
+    for f in corpus_files(sf_dir, "documents"):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = names["doc_id"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is not None and st.has_min_max:
+                dmin = st.min if dmin is None else min(dmin, st.min)
+                dmax = st.max if dmax is None else max(dmax, st.max)
+    if dmin is None:  # statistics absent: fall back to a min/max scan
+        t = read_documents(sf_dir, ["doc_id"])
+        dmin, dmax = t.min("doc_id"), t.max("doc_id")
+    ranges = n_ranges or dyn_buckets(32)
+    span = int(dmax) - int(dmin) + 1
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["text"].str.count(" ") + 1).astype("int64")
+        rng = ((df["doc_id"].to_numpy() - dmin) * ranges // span).astype(
+            "int64"
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "n_tokens": n, "_rng": rng}
+        )
+
+    cnt = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pandas"
+    ).materialize()  # int rows only; read twice (totals + scan) below
+
+    # per-range token totals -> driver-side exclusive scan (R rows)
+    tot = (
+        grouped(cnt, GroupSpec(keys=("_rng",), count=False, sum_cols=("n_tokens",)))
+        .to_pandas()
+        .sort_values("_rng")
+    )
+    offs = dict(
+        zip(
+            tot["_rng"].to_numpy(),
+            np.concatenate([[0], tot["sum_n_tokens"].to_numpy()[:-1].cumsum()]),
+        )
+    )
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        base = int(offs[int(df["_rng"].iloc[0])])
+        cum_excl = base + df["n_tokens"].to_numpy().cumsum() - df[
+            "n_tokens"
+        ].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": df["n_tokens"].to_numpy(),
+                "seq_id": cum_excl // PACK_SEQ_TOKENS,
+                "seq_off": cum_excl % PACK_SEQ_TOKENS,
+            }
+        )
+
+    return (
+        cnt.groupby("_rng")
+        .map_groups(scan, batch_format="pandas")
+        .sort(["doc_id"])
+    )

@@ -46,6 +46,7 @@ _TRANSCRIPT_BODIES = {
 
 _TABLE_SQL = {
     "token_counts": oracle.TOKEN_COUNTS,
+    "pack_sequences": oracle.PACK_SEQUENCES,
     "decontaminate": oracle.DECONTAMINATE,
     "repetition_scores": oracle.REPETITION_SCORES,
     "source_mixture": oracle.SOURCE_MIXTURE,

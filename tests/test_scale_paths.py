@@ -149,3 +149,17 @@ def test_filtered_scan_upper_bound_prunes_rows():
         end_ts=dt.datetime(2025, 1, 1, 0, 7, 0),
     ).count()
     assert 0 < capped < total
+
+
+def test_pack_sequences_range_invariant():
+    """Sequence packing is a prefix scan: the (seq_id, seq_off) assignment
+    must be invariant to how many range partitions the scan uses."""
+    from oplog_analyzer_ray.pipelines.text import pack_sequences
+
+    a = pack_sequences(SF_DIR, n_ranges=2).to_pandas()
+    b = pack_sequences(SF_DIR, n_ranges=97).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # the running total is exclusive: first doc starts at (0, 0)
+    assert a.iloc[0]["seq_id"] == 0 and a.iloc[0]["seq_off"] == 0
