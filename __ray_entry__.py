@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new this round ---
         "threshold_alerts_full": core.threshold_alerts_full,  # F5 + M6 payload
         "pack_sequences": text.pack_sequences,  # distributed prefix scan
+        "size_percentiles": core.size_percentiles,  # mergeable histogram
+        # data selection under a token budget (histogram cutoff + scan)
+        "quality_budget_selection": text.quality_budget_selection,
         # --- transcript log pipeline (SURVEY.md §2; north-rule surface) ---
         "sink_counts": core.sink_counts,  # A1/A4/A8 exact-match target
         "bucket_histogram": core.bucket_histogram,  # A2
@@ -148,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_conversations": oracle.curated_conversations_sql(_ORACLE_SF_DIR),
         "threshold_alerts": cte + oracle.THRESHOLD_ALERTS,
         "threshold_alerts_full": cte + oracle.THRESHOLD_ALERTS_FULL,
+        "size_percentiles": cte + oracle.SIZE_PERCENTILES,
         "hot_keys_thresholded": cte + oracle.HOT_KEYS_THRESHOLDED,
         "hot_keys_docsize": cte + oracle.HOT_KEYS_DOCSIZE,
         "hot_keys_docsize_external": cte + oracle.EXT_DOCSIZE_HOT_KEYS,
@@ -161,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         # has a full SQL oracle, including the ANN family (see below)
         "token_counts": oracle.TOKEN_COUNTS,
         "pack_sequences": oracle.PACK_SEQUENCES,
+        "quality_budget_selection": oracle.QUALITY_BUDGET_SELECTION,
         "decontaminate": oracle.DECONTAMINATE,
         "repetition_scores": oracle.REPETITION_SCORES,
         "source_mixture": oracle.SOURCE_MIXTURE,

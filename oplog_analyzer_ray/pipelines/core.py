@@ -640,6 +640,54 @@ def threshold_alerts_full(sf_dir: str) -> Dataset:
     )
 
 
+# exact percentile levels for the per-ns size distribution report
+SIZE_PCTS = (50, 90, 99)
+
+
+def size_percentiles(sf_dir: str) -> Dataset:
+    """Per-ns size percentiles (p50/p90/p99) — the distribution detail the
+    reference's min/max/avg report (EntryAccumulator.java:41-71) cannot
+    show, computed EXACTLY via a mergeable counting histogram:
+
+    each block collapses to (ns, size) → count partials (``grouped()``, the
+    same bounded-shuffle shape as every A-family stat — the histogram is
+    mergeable by construction), then one tiny per-ns task sorts its distinct
+    sizes and reads the percentiles off the cumulative counts.  The shuffle
+    moves ns × distinct-sizes rows — bounded by the VALUE RANGE, not the
+    corpus — which is why exact percentiles are still cheap at 100 TB where
+    a sort-based quantile would be an all-to-all of every event.
+
+    Percentile convention (integer math on both engines): ``p`` is the
+    smallest size whose cumulative count satisfies ``cum * 100 >= n * p``
+    (= cum ≥ ceil(n·p/100) for integer cum)."""
+    import numpy as np
+
+    ev = _mask_batches(event_dataset(sf_dir), _ok)
+    pre = ev.map_batches(
+        lambda t: t.select(["ns", "size"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    g = grouped(pre, GroupSpec(keys=("ns", "size")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("size")
+        cum = df["cnt"].to_numpy().cumsum()
+        size = df["size"].to_numpy()
+        n = int(cum[-1])
+        out = {"ns": [df["ns"].iloc[0]], "n_events": np.array([n], np.int64)}
+        for p in SIZE_PCTS:
+            idx = int(np.searchsorted(cum * 100, n * p, side="left"))
+            out[f"p{p}"] = np.array([size[idx]], np.int64)
+        return pd.DataFrame(out)
+
+    return (
+        g.groupby("ns")
+        .map_groups(finish, batch_format="pandas")
+        .sort(["ns"])
+    )
+
+
 def hot_keys_thresholded(sf_dir: str, k: int = 20) -> Dataset:
     """F6 + A5/A6: hot-key stats restricted to events at or above the
     id-stats threshold (filter BEFORE the groupby, mirroring the

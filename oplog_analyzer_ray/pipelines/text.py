@@ -826,3 +826,113 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
         .map_groups(scan, batch_format="pandas")
         .sort(["doc_id"])
     )
+
+
+# ------------------------------------------------------- budget selection
+# data-selection-under-budget: keep the highest-quality documents until the
+# kept set holds SELECT_BUDGET_PERMILLE of the corpus tokens (the greedy
+# quality-ranked selection a real pretraining data pipeline runs)
+SELECT_BUDGET_PERMILLE = 250  # keep the best 25% of corpus tokens
+
+
+def quality_budget_selection(sf_dir: str) -> Dataset:
+    """Select documents in (quality DESC, doc_id ASC) order until the token
+    budget fills: a doc is kept iff the tokens ranked strictly ahead of it
+    (``cum_excl``) are still under ``budget = total_tokens · permille //
+    1000``.
+
+    100 TB shape — a global sort by quality would be an all-to-all of the
+    corpus; instead:
+
+    1. ONE text pass reduces each doc to ``(doc_id, q_int, n_tokens)`` int
+       rows (q_int = floor(quality·1e6), the same 6dp-truncated value every
+       other quality gate uses);
+    2. the quality HISTOGRAM (≤1e6 distinct q_int values — bounded by the
+       value range, not the corpus) merges via ``grouped()`` and the
+       driver derives the budget, the per-q_int base offsets (tokens ranked
+       strictly above each quality level) and the set of quality levels
+       that can still contribute;
+    3. docs at contributing levels exchange ONCE keyed on q_int; each level
+       task prefix-sums its docs in doc_id order and keeps the prefix under
+       budget.  Partitioning assumption (documented, same class as
+       sessionization's one-user-per-task): one quality level's int rows
+       fit one task — at 6dp truncation a pathological all-same-quality
+       corpus degrades to one task over 16 B/doc rows, never text.
+
+    The oracle re-derives the selection with a SQL window function over the
+    same integer math (oracle.QUALITY_BUDGET_SELECTION)."""
+    import pyarrow as pa
+
+    from .agg import GroupSpec, grouped
+
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_components(df)["quality"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "q_int": np.floor(q * 1e6).astype("int64"),
+                "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+            }
+        )
+
+    tbl = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        qi, batch_format="pandas"
+    ).materialize()  # int rows only (16 B/doc) — read twice below
+
+    hist = (
+        grouped(
+            tbl,
+            GroupSpec(keys=("q_int",), count=False, sum_cols=("n_tokens",)),
+        )
+        .to_pandas()  # bounded: <=1e6 rows by the 6dp value range
+        .sort_values("q_int", ascending=False)
+    )
+    tok = hist["sum_n_tokens"].to_numpy()
+    total = int(tok.sum())
+    budget = total * SELECT_BUDGET_PERMILLE // 1000
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "q_int": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_excl": pa.array([], pa.int64()),
+        }
+    )
+    if budget == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    base = dict(
+        zip(
+            hist["q_int"].to_numpy(),
+            np.concatenate([[0], tok[:-1].cumsum()]).astype(np.int64),
+        )
+    )
+    # levels whose base offset already exceeds the budget cannot contribute
+    keep_q = np.array(
+        sorted(q for q, b in base.items() if b < budget), dtype=np.int64
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["q_int"].isin(keep_q)]
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        nt = df["n_tokens"].to_numpy()
+        cum_excl = int(base[int(df["q_int"].iloc[0])]) + nt.cumsum() - nt
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "q_int": df["q_int"].to_numpy(),
+                "n_tokens": nt,
+                "cum_excl": cum_excl.astype(np.int64),
+            }
+        )
+        return out[out["cum_excl"] < budget]
+
+    return (
+        tbl.map_batches(prune, batch_format="pandas")
+        .groupby("q_int")
+        .map_groups(scan, batch_format="pandas")
+        .sort(["doc_id"])
+    )

@@ -681,3 +681,37 @@ def test_purchase_attribution_equal_ts_click_ties_parity(tmp_path, duck):
     want = duck.execute(oracle.PURCHASE_ATTRIBUTION).fetchdf()
     assert_frames_match(got, want, "purchase_attribution[ties]")
     assert list(got["click_event_id"]) == [12]  # max event_id among the tie
+
+
+def test_quality_budget_selection_boundary_ties_parity(tmp_path, duck):
+    """When the token budget cuts through a run of SAME-quality documents,
+    both engines must break the tie by doc_id: the kept set is the doc_id
+    prefix of the boundary quality level (the per-level prefix scan vs the
+    SQL window must agree exactly)."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import quality_budget_selection
+    from .util import assert_frames_match
+
+    # 8 identical docs (one quality level, 8 tokens each, 64 total tokens):
+    # budget = 64 * 250 // 1000 = 16 tokens -> exactly the 2 lowest doc_ids
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "lang": pa.array(["en"] * 8),
+                "source": pa.array(["web"] * 8),
+                "text": pa.array([same] * 8),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = quality_budget_selection(str(tmp_path)).to_pandas()
+    want = duck.execute(oracle.QUALITY_BUDGET_SELECTION).fetchdf()
+    assert_frames_match(got, want, "quality_budget_selection[ties]")
+    assert list(got["doc_id"]) == [0, 1]
+    assert list(got["cum_excl"]) == [0, 8]

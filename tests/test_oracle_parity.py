@@ -33,6 +33,7 @@ _TRANSCRIPT_BODIES = {
     "first_events": oracle.FIRST_EVENTS,
     "threshold_alerts": oracle.THRESHOLD_ALERTS,
     "threshold_alerts_full": oracle.THRESHOLD_ALERTS_FULL,
+    "size_percentiles": oracle.SIZE_PERCENTILES,
     "hot_keys_thresholded": oracle.HOT_KEYS_THRESHOLDED,
     "hot_keys_docsize": oracle.HOT_KEYS_DOCSIZE,
     "hot_keys_docsize_external": oracle.EXT_DOCSIZE_HOT_KEYS,
@@ -47,6 +48,7 @@ _TRANSCRIPT_BODIES = {
 _TABLE_SQL = {
     "token_counts": oracle.TOKEN_COUNTS,
     "pack_sequences": oracle.PACK_SEQUENCES,
+    "quality_budget_selection": oracle.QUALITY_BUDGET_SELECTION,
     "decontaminate": oracle.DECONTAMINATE,
     "repetition_scores": oracle.REPETITION_SCORES,
     "source_mixture": oracle.SOURCE_MIXTURE,
