@@ -38,7 +38,7 @@ import ray
 from ray.data import Dataset
 
 from .agg import MERGE_BUCKETS, dyn_buckets
-from .dedup import _bucket_on, dedup_decision
+from .dedup import dedup_decision
 from .text import (
     DECON_EVAL_DOCS,
     _eval_gram_set,
@@ -127,17 +127,13 @@ def curated_corpus(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
-        side_a.union(side_b)
-        .map_batches(
-            _bucket_on,
-            fn_kwargs={"col": "doc_id", "buckets": buckets},
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: join(g.drop_columns(["_bucket"])),
-            batch_format="pyarrow",
-        )
-        .sort(["doc_id"])
-    )
+    from .agg import hash_bucket_apply
+    from .dedup import _use_exchange
+
+    return hash_bucket_apply(
+        side_a.union(side_b),
+        ("doc_id",),
+        join,
+        buckets,
+        use_exchange=_use_exchange(sf_dir),
+    ).sort(["doc_id"])

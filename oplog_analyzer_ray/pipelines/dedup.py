@@ -111,6 +111,44 @@ def _shingles(text: str) -> list[str]:
     return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
 
 
+def _batch_shingles(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-batch shingling: ``(rows, shingles)`` — one entry per
+    shingle occurrence, ``rows`` the source row index (0-based within the
+    batch), grouped by row (nondecreasing).  Semantically identical to
+    ``[_shingles(t) for t in texts]`` (pinned by test) but the 3-gram
+    construction is a numpy object-array concat over the exploded token
+    stream instead of a per-row Python loop — the loop was the hottest
+    code in the chain (≈40% of minhash wall at sf0.1)."""
+    n_rows = len(texts)
+    if n_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    toks = texts.str.split(" ")
+    counts = toks.str.len().to_numpy()
+    flat = toks.explode().to_numpy()
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    # word 3-grams: position j yields one iff j+2 is still the same row
+    if len(flat) >= 3:
+        valid = row_of[:-2] == row_of[2:]
+        tri = (
+            flat[:-2][valid]
+            + " "
+            + flat[1:-1][valid]
+            + " "
+            + flat[2:][valid]
+        )
+        tri_rows = row_of[:-2][valid]
+    else:
+        tri = np.empty(0, object)
+        tri_rows = np.empty(0, np.int64)
+    short = np.flatnonzero(counts < 3)  # whole text as the single shingle
+    if short.size:
+        rows = np.concatenate([tri_rows, short])
+        sh = np.concatenate([tri, texts.to_numpy()[short]])
+        order = np.argsort(rows, kind="stable")
+        return rows[order], sh[order]
+    return tri_rows, tri
+
+
 # ------------------------------------------------------------------ exact
 def exact_dedup(sf_dir: str) -> Dataset:
     """Exact dedup by content hash: keep the min doc_id per distinct text.
@@ -154,31 +192,37 @@ def minhash_signatures(sf_dir: str) -> Dataset:
     minima are pure numpy."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        # one md5 AND one seeded-hash evaluation per DISTINCT shingle; the
-        # per-position expansion is a single gather (repeated boilerplate
-        # shingles are the common case, so distinct << total)
-        offsets = [0]
-        inv: list[int] = []
-        index: dict[str, int] = {}
-        hd: list[int] = []
-        for t in df["text"]:
-            sh = _shingles(t)
-            for s in sh:
-                j = index.get(s)
-                if j is None:
-                    j = len(hd)
-                    index[s] = j
-                    hd.append(
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-                    )
-                inv.append(j)
-            offsets.append(offsets[-1] + len(sh))
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    **{
+                        f"mh_{i:02d}": pd.Series([], dtype="int64")
+                        for i in range(MINHASH_K)
+                    },
+                }
+            )
+        # vectorized shingling, then one md5 AND one seeded-hash evaluation
+        # per DISTINCT shingle (repeated boilerplate shingles are the common
+        # case, so distinct << total); the per-position expansion is a
+        # single gather and the per-doc minima one reduceat
+        rows, sh = _batch_shingles(df["text"])
+        inv, uniq = pd.factorize(sh)  # C-level distinct + codes
+        hd_arr = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                for s in uniq
+            ),
+            dtype=np.int64,
+            count=len(uniq),
+        )[None, :]
         A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
         B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
-        hd_arr = np.asarray(hd, dtype=np.int64)[None, :]
         Vd = (A * hd_arr + B) % MINHASH_P  # (16, distinct), exact int64
-        V = Vd[:, np.asarray(inv, dtype=np.int64)]
-        mins = np.minimum.reduceat(V, offsets[:-1], axis=1)
+        V = Vd[:, inv]
+        # every row has >=1 shingle, so row starts are a searchsorted
+        starts = np.searchsorted(rows, np.arange(len(df), dtype=np.int64))
+        mins = np.minimum.reduceat(V, starts, axis=1)
         out = {"doc_id": df["doc_id"].to_numpy()}
         for i in range(MINHASH_K):
             out[f"mh_{i:02d}"] = mins[i]
@@ -337,21 +381,29 @@ def _candidate_pairs_ds(sf_dir: str) -> Dataset:
     )
 
 
+def _use_exchange(sf_dir: str) -> bool:
+    """Plan gate shared by every dedup-family bucketed join: the task-based
+    hash exchange (materialize + scatter; ~5.6 s cheaper than two Ray sort
+    stages at sf0.1) below the shingle-cache corpus-size bound, the
+    streamed sort-based path above it."""
+    from .text import documents_bytes
+
+    return documents_bytes(sf_dir) <= SHINGLE_CACHE_MAX_BYTES
+
+
 def _candidate_pairs_uncached(sf_dir: str) -> Dataset:
+    from .agg import hash_bucket_apply
+
     sigs = minhash_signatures(sf_dir)
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
     buckets = dyn_buckets(MERGE_BUCKETS)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df["band_key"].to_numpy(), categorize=False)
-        df = df.copy()
-        df["_bucket"] = (h % buckets).astype("int64")
-        return df
-
-    items = (
-        bands.map_batches(add_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(_band_work_items, batch_format="pandas")
+    items = hash_bucket_apply(
+        bands,
+        ("band_key",),
+        lambda t: _band_work_items(t.to_pandas()),
+        buckets,
+        use_exchange=_use_exchange(sf_dir),
     )
     # small batches: one expanded batch holds ≤ batch_size × BAND_CHUNK**2
     # pair rows even on a corpus of identical documents
@@ -397,30 +449,40 @@ _JOIN_SCHEMA = pa.schema(
 
 def _shingle_side(sf_dir: str) -> Dataset:
     """(join_id=doc_id, peer=-1, sh=distinct shingles) rows — the build side
-    of both join hops."""
+    of both join hops.  The per-row ``sorted(set(_shingles(t)))`` is fully
+    vectorized (semantics pinned by test): shingles come from
+    ``_batch_shingles``, distinctness + lexicographic order come from a
+    factorize → rank → int-key ``np.unique`` — numeric sorting of
+    (row, lex-rank) pairs IS the per-row sorted distinct list."""
 
     def fn(df: pd.DataFrame) -> pa.Table:
-        sh = [sorted(set(_shingles(t))) for t in df["text"]]
         n = len(df)
+        if n == 0:
+            return _JOIN_SCHEMA.empty_table()
+        rows, sh = _batch_shingles(df["text"])
+        codes, uniq = pd.factorize(sh)
+        order = np.argsort(uniq)  # lexicographic order of the distincts
+        rank = np.empty(len(uniq), np.int64)
+        rank[order] = np.arange(len(uniq))
+        key = rows * len(uniq) + rank[codes]
+        ukey = np.unique(key)
+        values = uniq[order][ukey % len(uniq)]
+        offsets = np.searchsorted(ukey // len(uniq), np.arange(n + 1))
+        sh_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.string())
+        )
         return pa.table(
             {
                 "join_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
                 "peer": pa.array(np.full(n, -1, dtype=np.int64)),
                 "sh_peer": pa.nulls(n, _JOIN_SCHEMA[2].type),
-                "sh": pa.array(sh, _JOIN_SCHEMA[3].type),
+                "sh": sh_list,
             },
             schema=_JOIN_SCHEMA,
         )
 
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
-    )
-
-
-def _add_join_bucket(t: pa.Table, buckets: int) -> pa.Table:
-    h = pd.util.hash_array(t.column("join_id").to_numpy(), categorize=False)
-    return t.append_column(
-        "_bucket", pa.array((h % buckets).astype(np.int64))
     )
 
 
@@ -485,26 +547,24 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
             schema=_JOIN_SCHEMA,
         )
 
+    from .agg import hash_bucket_apply
+
     buckets = dyn_buckets(MERGE_BUCKETS)
+    exchange = _use_exchange(sf_dir)
     sh_side = _shingle_side(sf_dir)
     # the shingle build side feeds BOTH join hops; on a small corpus,
     # materializing it once (object store, spillable) beats re-reading and
     # re-shingling the documents per hop.  Gated on the on-disk size summed
     # across however many files the corpus spans — at corpus scale the
     # recompute streams instead of pinning the store.
-    from .text import documents_bytes
-
-    if documents_bytes(sf_dir) <= SHINGLE_CACHE_MAX_BYTES:
+    if exchange:
         sh_side = sh_side.materialize()
-    hop1 = (
-        sh_side.union(cands.map_batches(pairs_hop1, batch_format="pyarrow"))
-        .map_batches(
-            _add_join_bucket, fn_kwargs={"buckets": buckets}, batch_format="pyarrow"
-        )
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: attach(g.drop_columns(["_bucket"])), batch_format="pyarrow"
-        )
+    hop1 = hash_bucket_apply(
+        sh_side.union(cands.map_batches(pairs_hop1, batch_format="pyarrow")),
+        ("join_id",),
+        attach,
+        buckets,
+        use_exchange=exchange,
     )
 
     _EMPTY_VERIFIED = pa.table(
@@ -568,15 +628,12 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
-        sh_side.union(hop1)
-        .map_batches(
-            _add_join_bucket, fn_kwargs={"buckets": buckets}, batch_format="pyarrow"
-        )
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: verify(g.drop_columns(["_bucket"])), batch_format="pyarrow"
-        )
+    return hash_bucket_apply(
+        sh_side.union(hop1),
+        ("join_id",),
+        verify,
+        buckets,
+        use_exchange=exchange,
     )
 
 
@@ -881,17 +938,11 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
             }
         )
 
-    assigned = (
-        docs.map_batches(
-            _bucket_on,
-            fn_kwargs={"col": "doc_id", "buckets": buckets},
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: coalesce_self(g.drop_columns(["_bucket"])),
-            batch_format="pyarrow",
-        )
+    from .agg import hash_bucket_apply
+
+    exchange = _use_exchange(sf_dir)
+    assigned = hash_bucket_apply(
+        docs, ("doc_id",), coalesce_self, buckets, use_exchange=exchange
     )
 
     # … then co-locate each cluster to attach its size (second exchange)
@@ -914,15 +965,6 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
-        assigned.map_batches(
-            _bucket_on,
-            fn_kwargs={"col": "cluster_id", "buckets": buckets},
-            batch_format="pyarrow",
-        )
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: attach_size(g.drop_columns(["_bucket"])),
-            batch_format="pyarrow",
-        )
+    return hash_bucket_apply(
+        assigned, ("cluster_id",), attach_size, buckets, use_exchange=exchange
     )

@@ -936,3 +936,48 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
         .map_groups(scan, batch_format="pandas")
         .sort(["doc_id"])
     )
+
+
+# --------------------------------------------------------- split assignment
+# deterministic train/val/test assignment: salted md5 permille of the doc id
+# (a DIFFERENT salt than the sampling gate, so split membership and sample
+# membership are independent hash draws)
+SPLIT_SALT = "split:"
+SPLIT_TRAIN_LT = 980  # permille bounds: [0,980) train, [980,990) val, rest test
+SPLIT_VAL_LT = 990
+
+
+def train_val_split(sf_dir: str) -> Dataset:
+    """Per-document split assignment — the leakage-proof way to split a
+    100 TB corpus: membership is a pure function of the doc id (salted md5
+    permille), so it is identical on every run, every cluster size and
+    every table slice, with no shuffle, no state and no driver
+    participation; eval contamination cannot creep in through re-runs.
+    The SQL oracle re-derives the identical gate."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["doc_id"]
+            .map(
+                lambda d: int(
+                    hashlib.md5(
+                        (SPLIT_SALT + str(int(d))).encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % 1000
+            )
+            .astype("int64")
+        )
+        split = np.select(
+            [h < SPLIT_TRAIN_LT, h < SPLIT_VAL_LT],
+            ["train", "val"],
+            "test",
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "hash_permille": h, "split": split}
+        )
+
+    return read_documents(sf_dir, ["doc_id"]).map_batches(
+        fn, batch_format="pandas"
+    ).sort(["doc_id"])

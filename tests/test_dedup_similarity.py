@@ -360,3 +360,22 @@ def test_cc_distributed_rounds_equal_local_solve(monkeypatch):
     assert local.loc[local["is_canonical"], "doc_id"].equals(
         local.loc[local["is_canonical"], "cluster_id"]
     )
+
+
+def test_batch_shingles_matches_per_row_reference():
+    """The vectorized batch shingler must emit exactly the per-row
+    _shingles() stream (same order within a row), including the short-doc
+    whole-text case and empty strings."""
+    import pandas as pd
+
+    from oplog_analyzer_ray.pipelines.dedup import _batch_shingles, _shingles
+
+    texts = pd.Series(
+        ["a b c d e", "x y", "", "one", "p q r", "a b c d e", "t u v w"]
+    )
+    rows, sh = _batch_shingles(texts)
+    got = {}
+    for r, s in zip(rows, sh):
+        got.setdefault(int(r), []).append(s)
+    for i, t in enumerate(texts):
+        assert got[i] == _shingles(t), (i, t)
