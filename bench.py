@@ -173,6 +173,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             extra["curated_corpus"] = curate.curated_corpus
             extra["decontaminate"] = text.decontaminate
             extra["token_rarity"] = text.token_rarity
+            extra["pack_sequences"] = text.pack_sequences
+            extra["quality_budget_selection"] = text.quality_budget_selection
         extra["conv_profiles"] = core.conv_profiles
         if os.path.exists(corpus_path(sf_dir, "embeddings")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce

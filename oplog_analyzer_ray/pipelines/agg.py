@@ -360,9 +360,13 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
     """Map side of :func:`hash_bucket_apply`: order one block by key-hash
     bucket and scatter the ``buckets`` contiguous slices.  Blocks of
     pandas-producing upstream stages arrive as DataFrames (``to_arrow_refs``
-    hands block refs through as-is) — normalize to Arrow here."""
+    hands block refs through as-is) — normalize to Arrow here.  Ray also
+    emits schema-LESS empty blocks (e.g. SplitBlocks over a tiny file);
+    they carry no key columns, so scatter them as empties."""
     if isinstance(t, pd.DataFrame):
         t = pa.Table.from_pandas(t, preserve_index=False)
+    if t.num_rows == 0 or any(k not in t.column_names for k in keys):
+        return [t.schema.empty_table()] * buckets
     b = _bucket_np(t, keys, buckets)
     order = np.argsort(b, kind="stable")
     t2 = t.take(pa.array(order))
@@ -379,8 +383,20 @@ def _apply_group_task(fn, *shards: pa.Table) -> pa.Table:
     in exactly one bucket, so ``fn`` over the concatenated shards sees the
     complete groups.  ``fn`` must accept an empty (schema-correct) table —
     some buckets are legitimately empty.  Shards from pandas-block and
-    arrow-block inputs may disagree on field order — unify by name."""
-    return fn(pa.concat_tables(shards, promote_options="default"))
+    arrow-block inputs may disagree on field order — unify by name; drop
+    schema-less empties (they would otherwise poison the unified schema).
+    The no-split fast path (buckets == 1) feeds raw block refs here, so
+    pandas blocks are normalized like on the split side."""
+    parts = [
+        pa.Table.from_pandas(s, preserve_index=False)
+        if isinstance(s, pd.DataFrame)
+        else s
+        for s in shards
+    ]
+    real = [p for p in parts if p.num_columns]
+    if not real:
+        real = parts[:1]
+    return fn(pa.concat_tables(real, promote_options="default"))
 
 
 def hash_bucket_apply(
@@ -412,6 +428,10 @@ def hash_bucket_apply(
         if refs and len(refs) * buckets <= MAX_EXCHANGE_FANOUT:
             import ray.data as _rd
 
+            if buckets == 1:  # degenerate width: no split pass needed
+                return _rd.from_arrow_refs(
+                    [_apply_group_task.remote(fn, *refs)]
+                )
             split = [
                 _split_group_task.options(num_returns=buckets).remote(
                     r, keys, buckets

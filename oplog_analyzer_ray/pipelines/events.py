@@ -90,18 +90,35 @@ KMV_K = 64
 _KMV_MASK = (1 << 63) - 1  # 63-bit hash space: BIGINT-safe on both engines
 
 
-def _user_bucketer(buckets: int):
-    """Vectorized user-hash bucket assigner shared by every per-user
-    bucketed operator (one definition so bucketing semantics cannot
-    drift between sessionization / funnel / retention)."""
+# on-disk events size below which the per-user exchange materializes and
+# uses the task-based hash exchange (agg.hash_bucket_apply) instead of
+# Ray's sort-based groupby — each avoided sort stage is ~2.8 s of pure
+# machinery at small scale; above the cap the streamed sort path is the
+# right plan (no corpus-sized materialization)
+EVENTS_EXCHANGE_MAX_BYTES = int(2e9)
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-        df["_bucket"] = (h % buckets).astype("int64")
-        return df
 
-    return add_bucket
+def _user_bucket_apply(sf_dir: str, ds: Dataset, fn, buckets: int) -> Dataset:
+    """Co-locate rows by hash(user_id) and run the pandas per-bucket
+    function ``fn`` with every user's rows complete — the shared exchange
+    of sessionization / funnel / retention / purchase_attribution (one
+    definition so bucketing semantics cannot drift).  ``fn`` must handle an
+    empty frame and return dtype-stable columns (schemas are unified
+    across buckets downstream)."""
+    from .agg import hash_bucket_apply
+    from .corpus import corpus_bytes
+
+    def wrap(t: pa.Table) -> pa.Table:
+        out = fn(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_bucket_apply(
+        ds,
+        ("user_id",),
+        wrap,
+        buckets,
+        use_exchange=corpus_bytes(sf_dir, "events") <= EVENTS_EXCHANGE_MAX_BYTES,
+    )
 
 
 def _kmv_hashes(uniq) -> "np.ndarray":
@@ -128,9 +145,18 @@ def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     end_ts, sum_value) with session_id dense from 0 per user."""
     buckets = n_buckets or session_buckets(sf_dir)
 
-    add_bucket = _user_bucketer(buckets)
-
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty bucket: dtype-stable empty result
+            return pd.DataFrame(
+                {
+                    "user_id": df["user_id"],
+                    "session_id": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "start_ts": df["ts"],
+                    "end_ts": df["ts"],
+                    "sum_value": pd.Series([], dtype="float64"),
+                }
+            )
         df = df.sort_values(["user_id", "ts"], kind="mergesort")
         # sum in integer cents: order-independent and bit-identical to the
         # SQL SUM(CAST(round(value*100) AS BIGINT))/100.0 (values are
@@ -156,11 +182,8 @@ def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
         ]
 
     ev = read_events(sf_dir, ["user_id", "ts", "value"])
-    return (
-        ev.map_batches(add_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(sessions, batch_format="pandas")
-        .sort(["user_id", "session_id"])
+    return _user_bucket_apply(sf_dir, ev, sessions, buckets).sort(
+        ["user_id", "session_id"]
     )
 
 
@@ -178,13 +201,22 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     DuckDB oracle is a native ``ASOF LEFT JOIN``."""
     buckets = n_buckets or session_buckets(sf_dir)
 
-    def pick_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"].isin(("purchase", "click"))].copy()
-        h = pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
-        df["_bucket"] = (h % buckets).astype("int64")
-        return df
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("purchase", "click"))]
 
     def asof(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty bucket: dtype-stable empty result
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "ts": df["ts"],
+                    "value": pd.Series([], dtype="float64"),
+                    "click_event_id": pd.Series([], dtype="int64"),
+                    "click_ts": df["ts"],
+                    "gap_us": pd.Series([], dtype="int64"),
+                }
+            )
         p = (
             df[df["event_type"] == "purchase"]
             .sort_values("ts", kind="mergesort")
@@ -223,15 +255,8 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
 
     ev = read_events(
         sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
-    )
-    return (
-        ev.map_batches(pick_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(
-            lambda g: asof(g.drop(columns=["_bucket"])), batch_format="pandas"
-        )
-        .sort(["event_id"])
-    )
+    ).map_batches(pick, batch_format="pandas")
+    return _user_bucket_apply(sf_dir, ev, asof, buckets).sort(["event_id"])
 
 
 def tumbling_window(sf_dir: str) -> Dataset:
@@ -352,8 +377,6 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
 
     buckets = n_buckets or session_buckets(sf_dir)
 
-    add_bucket = _user_bucketer(buckets)
-
     def reach(df: pd.DataFrame) -> pd.DataFrame:
         t = None  # per-user reach time of the previous stage
         counts: list[int] = []
@@ -372,11 +395,11 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
             }
         )
 
-    partial = (
-        read_events(sf_dir, ["user_id", "ts", "event_type"])
-        .map_batches(add_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(reach, batch_format="pandas")
+    partial = _user_bucket_apply(
+        sf_dir,
+        read_events(sf_dir, ["user_id", "ts", "event_type"]),
+        reach,
+        buckets,
     )
     g = grouped(
         partial,
@@ -437,8 +460,6 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     is int64 (micros // WEEK_US), bit-exact vs the oracle."""
     buckets = n_buckets or session_buckets(sf_dir)
 
-    add_bucket = _user_bucketer(buckets)
-
     def cells(df: pd.DataFrame) -> pd.DataFrame:
         # pin the resolution before the int view: pandas may surface the
         # arrow timestamp as M8[us] or M8[ns] depending on version
@@ -462,10 +483,9 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
         return out
 
     g = grouped(
-        read_events(sf_dir, ["user_id", "ts"])
-        .map_batches(add_bucket, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(cells, batch_format="pandas"),
+        _user_bucket_apply(
+            sf_dir, read_events(sf_dir, ["user_id", "ts"]), cells, buckets
+        ),
         GroupSpec(
             keys=("cohort_week", "week_offset"), count=False, sum_cols=("users",)
         ),
