@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "dedup_clusters": dedup.dedup_clusters,  # CC over the near-dup graph
+        "dedup_keep_best": dedup.dedup_keep_best,  # quality-canonical keep
         # flagship compose: dedup-canonical ∩ quality ∩ stratified gate
         "curated_corpus": curate.curated_corpus,
         "simhash64": dedup.simhash64,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "dedup_clusters": oracle.DEDUP_CLUSTERS,
+        "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
         "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,

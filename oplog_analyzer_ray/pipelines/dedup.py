@@ -968,3 +968,110 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
     return hash_bucket_apply(
         assigned, ("cluster_id",), attach_size, buckets, use_exchange=exchange
     )
+
+
+# ------------------------------------------------- quality-canonical dedup
+# arg-max encoding for "highest quality, tie-break min doc_id" as ONE int64
+# min: key = (QKEY_QMAX - q_int) * QKEY_BASE + doc_id.  q_int = floor(
+# quality * 1e6) ∈ [0, 1e6]; doc_id < 2^32 by contract (checked).  The same
+# integer expression is inlined in the SQL oracle.
+QKEY_BASE = 1 << 32
+QKEY_QMAX = 1_000_001
+
+
+def dedup_keep_best(sf_dir: str) -> Dataset:
+    """The dedup decision a production pipeline actually wants: per
+    near-dup cluster keep the BEST-QUALITY document (tie-break min doc_id),
+    not blindly the min-id one — one row per cluster:
+    ``(cluster_id, cluster_size, keep_doc_id, keep_q_int)``.
+
+    Composes the session-cached cluster table with a quality pass: one
+    doc_id-bucketed exchange attaches each doc's 6dp-truncated quality to
+    its cluster row, then the standard ``grouped()`` partial-merge takes
+    the per-cluster MIN of the arg-max key — so the wide stage moves only
+    (cluster_id, int key) partials, never text.  The SQL oracle re-derives
+    the same key arithmetic over the recursive-CTE cluster table."""
+    from .agg import GroupSpec, grouped
+    from .agg import hash_bucket_apply
+    from .text import quality_components, read_documents
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+
+    def dec_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": t.column("cluster_id"),
+                "cluster_size": t.column("cluster_size"),
+                "q_int": pa.nulls(n, pa.int64()),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def q_rows(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_components(df)["quality"]
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "cluster_id": pd.Series(-1, index=df.index, dtype="int64"),
+                "cluster_size": pd.Series(-1, index=df.index, dtype="int64"),
+                "q_int": np.floor(q * 1e6).astype("int64"),
+            }
+        )
+        out["_side"] = pd.Series(1, index=out.index, dtype="int8")
+        return out
+
+    side_a = dedup_decision(sf_dir).map_batches(dec_rows, batch_format="pyarrow")
+    side_b = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        q_rows, batch_format="pandas"
+    )
+
+    def join(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group.column("_side"), 0)
+        a = group.filter(is_a)
+        b = group.filter(pc.invert(is_a))
+        idx = pc.index_in(a.column("doc_id"), value_set=b.column("doc_id"))
+        q = pc.take(b.column("q_int"), idx).to_numpy(zero_copy_only=False)
+        doc = a.column("doc_id").to_numpy(zero_copy_only=False)
+        if doc.size and int(doc.max()) >= QKEY_BASE:
+            raise ValueError("dedup_keep_best: doc_id exceeds the arg-max "
+                             "key range (2^32) — widen QKEY_BASE")
+        key = (QKEY_QMAX - q.astype(np.int64)) * QKEY_BASE + doc
+        return pa.table(
+            {
+                "cluster_id": a.column("cluster_id"),
+                "cluster_size": a.column("cluster_size"),
+                "k": pa.array(key, pa.int64()),
+            }
+        )
+
+    joined = hash_bucket_apply(
+        side_a.union(side_b),
+        ("doc_id",),
+        join,
+        buckets,
+        use_exchange=_use_exchange(sf_dir),
+    )
+    g = grouped(
+        joined,
+        GroupSpec(
+            keys=("cluster_id",),
+            count=False,
+            min_cols=("k",),
+            max_cols=("cluster_size",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        k = t.column("min_k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_id": t.column("cluster_id"),
+                "cluster_size": t.column("max_cluster_size"),
+                "keep_doc_id": pa.array(k % QKEY_BASE, pa.int64()),
+                "keep_q_int": pa.array(QKEY_QMAX - k // QKEY_BASE, pa.int64()),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["cluster_id"])

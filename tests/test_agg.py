@@ -176,3 +176,49 @@ def test_copartitioned_hot_keys_matches_general_path(tmp_path):
         got[["ns", "conv_id", "cnt", "total_size"]].reset_index(drop=True),
         want[["ns", "conv_id", "cnt", "total_size"]].reset_index(drop=True),
     )
+
+
+def test_hash_bucket_apply_paths_agree():
+    """The task-based exchange and the streamed sort-based fallback are two
+    plans for the SAME operator: identical results for a per-key reduction,
+    at several widths including the degenerate buckets=1."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from oplog_analyzer_ray.pipelines.agg import hash_bucket_apply
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 97, 5000),
+            "v": rng.integers(0, 1000, 5000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+
+    def per_key_sum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["k"]).aggregate([("v", "sum")])
+        return pa.table({"k": g.column("k"), "s": g.column("v_sum")})
+
+    outs = []
+    for use_exchange, buckets in [(True, 1), (True, 8), (True, 33), (False, 8)]:
+        out = (
+            hash_bucket_apply(
+                ds, ("k",), per_key_sum, buckets, use_exchange=use_exchange
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
+    want = df.groupby("k", as_index=False)["v"].sum().rename(columns={"v": "s"})
+    pd.testing.assert_frame_equal(outs[0], want.astype({"s": "int64"}))

@@ -67,6 +67,7 @@ _TABLE_SQL = {
     "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
     "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
     "dedup_clusters": oracle.DEDUP_CLUSTERS,
+    "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
     "curated_corpus": oracle.CURATED_CORPUS,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
