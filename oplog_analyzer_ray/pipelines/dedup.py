@@ -739,15 +739,6 @@ _CC_SCHEMA = pa.schema(
 )
 
 
-def _bucket_on(t: pa.Table, col: str, buckets: int) -> pa.Table:
-    h = pd.util.hash_array(
-        t.column(col).to_numpy(zero_copy_only=False), categorize=False
-    )
-    return t.append_column(
-        "_bucket", pa.array((h % buckets).astype(np.int64))
-    )
-
-
 def dedup_clusters(sf_dir: str) -> Dataset:
     """Sorted report surface of :func:`dedup_decision` (the unsorted table
     feeds :func:`~oplog_analyzer_ray.pipelines.curate.curated_corpus`
@@ -865,21 +856,22 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
                 ]
             )
 
+        from .agg import hash_bucket_apply as _hba
+
         converged = False
         for _ in range(CC_MAX_ROUNDS):
-            msgs = (
-                labels.map_batches(tag_labels, batch_format="pyarrow")
-                .union(edges)
-                .map_batches(
-                    _bucket_on,
-                    fn_kwargs={"col": "node", "buckets": buckets},
-                    batch_format="pyarrow",
-                )
-                .groupby("_bucket")
-                .map_groups(
-                    lambda g: propagate(g.drop_columns(["_bucket"])),
-                    batch_format="pyarrow",
-                )
+            # the round inputs (labels + edges) are pair-graph-sized and
+            # already materialized, so the task-based exchange is safe at
+            # ANY corpus size — it is bounded by the candidate pairs, never
+            # the documents (two Ray sort stages per round otherwise)
+            msgs = _hba(
+                labels.map_batches(tag_labels, batch_format="pyarrow").union(
+                    edges
+                ),
+                ("node",),
+                propagate,
+                buckets,
+                use_exchange=True,
             )
             labels = (
                 grouped(

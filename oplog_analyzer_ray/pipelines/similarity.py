@@ -260,6 +260,36 @@ def _pair_frame(va, vb, cs) -> pd.DataFrame:
     )
 
 
+def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn):
+    """Shared exchange of the embedding pair kernels: co-locate replicated
+    vectors by ``key`` and run the per-GROUP pandas kernel on each complete
+    group — via the task-based hash exchange below the embeddings-size cap
+    (each replaced Ray sort stage is ~2-3 s of machinery at bench scale),
+    the streamed sort path above it."""
+    from .agg import dyn_buckets, hash_bucket_apply
+    from .corpus import corpus_bytes
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.Table.from_pandas(
+                _pair_frame([], [], []), preserve_index=False
+            )
+        out = pd.concat(
+            [group_fn(g) for _, g in df.groupby(key, sort=False)],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return hash_bucket_apply(
+        ds,
+        (key,),
+        per_bucket,
+        dyn_buckets(16),
+        use_exchange=corpus_bytes(sf_dir, "embeddings") <= int(2e9),
+    )
+
+
 def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
     """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥ 0.4.
 
@@ -335,13 +365,12 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
             np.minimum(a_ids, b_ids), np.maximum(a_ids, b_ids), cs
         )
 
-    return (
-        read_embeddings(sf_dir)
-        .map_batches(emit, batch_format="pyarrow")
-        .groupby("_pair")
-        .map_groups(compute, batch_format="pandas")
-        .sort(["vec_a", "vec_b"])
-    )
+    return _emb_bucket_apply(
+        sf_dir,
+        read_embeddings(sf_dir).map_batches(emit, batch_format="pyarrow"),
+        "_pair",
+        compute,
+    ).sort(["vec_a", "vec_b"])
 
 
 def embedding_near_dups_lsh(
@@ -396,11 +425,11 @@ def embedding_near_dups_lsh(
 
     from .agg import GroupSpec, grouped
 
-    pairs = (
-        read_embeddings(sf_dir)
-        .map_batches(emit, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(compute, batch_format="pandas")
+    pairs = _emb_bucket_apply(
+        sf_dir,
+        read_embeddings(sf_dir).map_batches(emit, batch_format="pandas"),
+        "_bucket",
+        compute,
     )
     g = grouped(
         pairs,

@@ -354,6 +354,10 @@ def test_cc_distributed_rounds_equal_local_solve(monkeypatch):
         dmod.dedup_clusters(SF_DIR).to_pandas().reset_index(drop=True)
     )
     monkeypatch.setattr(dmod, "CC_LOCAL_EDGES", 0)  # force distributed
+    # the decision table is session-memoized — drop the cache so the second
+    # run actually exercises the distributed rounds instead of returning
+    # the memoized local-solve result
+    dmod._CHAIN_CACHE.clear()
     dist = dmod.dedup_clusters(SF_DIR).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(local, dist)
     assert (local["cluster_size"] >= 1).all()
