@@ -806,26 +806,44 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
         )
     )
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id", kind="mergesort")
-        base = int(offs[int(df["_rng"].iloc[0])])
-        cum_excl = base + df["n_tokens"].to_numpy().cumsum() - df[
-            "n_tokens"
-        ].to_numpy()
-        return pd.DataFrame(
+    def scan(t) -> "pa.Table":
+        """All ranges of one hash bucket, vectorized (grouped cumsum +
+        broadcast range offsets) — avoids a Ray sort stage and per-range
+        task calls for what is milliseconds of numpy."""
+        import pyarrow as pa
+
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_off": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values(["_rng", "doc_id"], kind="mergesort")
+        nt = df["n_tokens"].to_numpy()
+        cum_in = df.groupby("_rng", sort=False)["n_tokens"].cumsum().to_numpy() - nt
+        cum_excl = df["_rng"].map(offs).to_numpy().astype(np.int64) + cum_in
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_tokens": df["n_tokens"].to_numpy(),
-                "seq_id": cum_excl // PACK_SEQ_TOKENS,
-                "seq_off": cum_excl % PACK_SEQ_TOKENS,
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "seq_id": pa.array(cum_excl // PACK_SEQ_TOKENS, pa.int64()),
+                "seq_off": pa.array(cum_excl % PACK_SEQ_TOKENS, pa.int64()),
             }
         )
 
-    return (
-        cnt.groupby("_rng")
-        .map_groups(scan, batch_format="pandas")
-        .sort(["doc_id"])
-    )
+    from .agg import hash_bucket_apply
+    from .corpus import corpus_bytes
+
+    return hash_bucket_apply(
+        cnt,
+        ("_rng",),
+        scan,
+        use_exchange=corpus_bytes(sf_dir, "documents") <= int(2e9),
+    ).sort(["doc_id"])
 
 
 # ------------------------------------------------------- budget selection
@@ -916,26 +934,36 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["q_int"].isin(keep_q)]
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id", kind="mergesort")
+    def scan(t: pa.Table) -> pa.Table:
+        """All levels of one hash bucket, vectorized: within-level exclusive
+        prefix via a C-level grouped cumsum plus the broadcast base offsets
+        (a per-LEVEL task would mean thousands of tiny tasks through a Ray
+        sort stage — measured 11 s vs ~2 s at sf0.1)."""
+        df = t.to_pandas()
+        if not len(df):
+            return empty
+        df = df.sort_values(["q_int", "doc_id"], kind="mergesort")
         nt = df["n_tokens"].to_numpy()
-        cum_excl = int(base[int(df["q_int"].iloc[0])]) + nt.cumsum() - nt
-        out = pd.DataFrame(
+        cum_in = df.groupby("q_int", sort=False)["n_tokens"].cumsum().to_numpy() - nt
+        cum_excl = df["q_int"].map(base).to_numpy().astype(np.int64) + cum_in
+        keep = cum_excl < budget
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(),
-                "q_int": df["q_int"].to_numpy(),
-                "n_tokens": nt,
-                "cum_excl": cum_excl.astype(np.int64),
+                "doc_id": pa.array(df["doc_id"].to_numpy()[keep], pa.int64()),
+                "q_int": pa.array(df["q_int"].to_numpy()[keep], pa.int64()),
+                "n_tokens": pa.array(nt[keep], pa.int64()),
+                "cum_excl": pa.array(cum_excl[keep], pa.int64()),
             }
         )
-        return out[out["cum_excl"] < budget]
 
-    return (
-        tbl.map_batches(prune, batch_format="pandas")
-        .groupby("q_int")
-        .map_groups(scan, batch_format="pandas")
-        .sort(["doc_id"])
-    )
+    from .agg import hash_bucket_apply
+
+    return hash_bucket_apply(
+        tbl.map_batches(prune, batch_format="pandas"),
+        ("q_int",),
+        scan,
+        use_exchange=documents_bytes(sf_dir) <= int(2e9),
+    ).sort(["doc_id"])
 
 
 # --------------------------------------------------------- split assignment
