@@ -124,6 +124,15 @@ MERGE_BUCKETS = 64
 # is exactly the Amdahl term that capped round-2's 4→16 scaling at 0.64.
 SMALL_MERGE_ROWS = 65_536
 
+# ONE shared "bounded input" gate for every hash_bucket_apply call site
+# (dedup joins, per-user events ops, embedding kernels, prefix scans): at or
+# below this on-disk input size the task exchange materializes and scatters;
+# above it the streamed sort path runs.  Env-overridable so the policy is
+# tuned in one place, not five literals.
+EXCHANGE_GATE_MAX_BYTES = int(
+    __import__("os").environ.get("OPLOG_EXCHANGE_GATE_MAX_BYTES", int(2e9))
+)
+
 # driver-side ref-count guard for the hand-rolled exchange: it tracks
 # blocks × buckets ObjectRefs, trivial here (tens × hundreds) but not at a
 # 256-node cluster's 10k blocks × 16k buckets — past this fanout, fall back
@@ -365,8 +374,16 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
     they carry no key columns, so scatter them as empties."""
     if isinstance(t, pd.DataFrame):
         t = pa.Table.from_pandas(t, preserve_index=False)
-    if t.num_rows == 0 or any(k not in t.column_names for k in keys):
+    if t.num_rows == 0:
         return [t.schema.empty_table()] * buckets
+    missing = [k for k in keys if k not in t.column_names]
+    if missing:
+        # a NON-empty block without the key is a caller bug — fail like the
+        # sort path does, never silently drop rows
+        raise KeyError(
+            f"hash_bucket_apply: key column(s) {missing} absent from block "
+            f"schema {t.column_names}"
+        )
     b = _bucket_np(t, keys, buckets)
     order = np.argsort(b, kind="stable")
     t2 = t.take(pa.array(order))
@@ -395,7 +412,10 @@ def _apply_group_task(fn, *shards: pa.Table) -> pa.Table:
     ]
     real = [p for p in parts if p.num_columns]
     if not real:
-        real = parts[:1]
+        # every shard schema-less (fully empty exchanged dataset): the
+        # bucket's result is empty by definition — don't hand fn a
+        # zero-column table it cannot interpret
+        return parts[0]
     return fn(pa.concat_tables(real, promote_options="default"))
 
 
@@ -424,7 +444,10 @@ def hash_bucket_apply(
     """
     buckets = buckets or dyn_buckets(MERGE_BUCKETS)
     if use_exchange:
-        refs = ds.materialize().to_arrow_refs()
+        mat = ds.materialize()
+        refs = mat.to_arrow_refs()
+        ds = mat  # past-the-fanout-cap fallback reuses the blocks rather
+        # than re-executing the upstream lineage a second time
         if refs and len(refs) * buckets <= MAX_EXCHANGE_FANOUT:
             import ray.data as _rd
 

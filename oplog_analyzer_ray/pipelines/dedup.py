@@ -50,7 +50,7 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from .agg import GroupSpec, dyn_buckets, grouped
+from .agg import EXCHANGE_GATE_MAX_BYTES, GroupSpec, dyn_buckets, grouped
 from .text import read_documents
 
 MINHASH_K = 16
@@ -58,7 +58,9 @@ LSH_BANDS = 8
 LSH_ROWS = MINHASH_K // LSH_BANDS
 JACCARD_THRESHOLD = 0.05
 MERGE_BUCKETS = 32  # floor; effective width = dyn_buckets(MERGE_BUCKETS)
-SHINGLE_CACHE_MAX_BYTES = int(2e9)  # materialize shingle join side below this
+# materialize the shingle join side below this (same bound as the shared
+# task-exchange gate — one policy knob)
+SHINGLE_CACHE_MAX_BYTES = EXCHANGE_GATE_MAX_BYTES
 
 # universal-hash family constants (fixed, inlined into the oracle SQL):
 # odd multipliers < 2^31 so A·h + B stays < 2^63 for h < 2^32 — exact in
@@ -985,7 +987,7 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
     the same key arithmetic over the recursive-CTE cluster table."""
     from .agg import GroupSpec, grouped
     from .agg import hash_bucket_apply
-    from .text import quality_components, read_documents
+    from .text import quality_int_table
 
     buckets = dyn_buckets(MERGE_BUCKETS)
 
@@ -1001,22 +1003,22 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
             }
         )
 
-    def q_rows(df: pd.DataFrame) -> pd.DataFrame:
-        q = quality_components(df)["quality"]
-        out = pd.DataFrame(
+    def q_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
             {
-                "doc_id": df["doc_id"],
-                "cluster_id": pd.Series(-1, index=df.index, dtype="int64"),
-                "cluster_size": pd.Series(-1, index=df.index, dtype="int64"),
-                "q_int": np.floor(q * 1e6).astype("int64"),
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "cluster_size": pa.array(np.full(n, -1, dtype=np.int64)),
+                "q_int": t.column("q_int"),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
-        out["_side"] = pd.Series(1, index=out.index, dtype="int8")
-        return out
 
     side_a = dedup_decision(sf_dir).map_batches(dec_rows, batch_format="pyarrow")
-    side_b = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        q_rows, batch_format="pandas"
+    # quality comes from the session-memoized int table — no extra text pass
+    side_b = quality_int_table(sf_dir).map_batches(
+        q_rows, batch_format="pyarrow"
     )
 
     def join(group: pa.Table) -> pa.Table:

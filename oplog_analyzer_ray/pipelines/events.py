@@ -95,7 +95,7 @@ _KMV_MASK = (1 << 63) - 1  # 63-bit hash space: BIGINT-safe on both engines
 # Ray's sort-based groupby — each avoided sort stage is ~2.8 s of pure
 # machinery at small scale; above the cap the streamed sort path is the
 # right plan (no corpus-sized materialization)
-EVENTS_EXCHANGE_MAX_BYTES = int(2e9)
+from .agg import EXCHANGE_GATE_MAX_BYTES as EVENTS_EXCHANGE_MAX_BYTES
 
 
 def _user_bucket_apply(sf_dir: str, ds: Dataset, fn, buckets: int) -> Dataset:

@@ -266,7 +266,7 @@ def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn):
     group — via the task-based hash exchange below the embeddings-size cap
     (each replaced Ray sort stage is ~2-3 s of machinery at bench scale),
     the streamed sort path above it."""
-    from .agg import dyn_buckets, hash_bucket_apply
+    from .agg import EXCHANGE_GATE_MAX_BYTES, dyn_buckets, hash_bucket_apply
     from .corpus import corpus_bytes
 
     def per_bucket(t: pa.Table) -> pa.Table:
@@ -286,7 +286,8 @@ def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn):
         (key,),
         per_bucket,
         dyn_buckets(16),
-        use_exchange=corpus_bytes(sf_dir, "embeddings") <= int(2e9),
+        use_exchange=corpus_bytes(sf_dir, "embeddings")
+        <= EXCHANGE_GATE_MAX_BYTES,
     )
 
 

@@ -835,14 +835,13 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
             }
         )
 
-    from .agg import hash_bucket_apply
-    from .corpus import corpus_bytes
+    from .agg import EXCHANGE_GATE_MAX_BYTES, hash_bucket_apply
 
     return hash_bucket_apply(
         cnt,
         ("_rng",),
         scan,
-        use_exchange=corpus_bytes(sf_dir, "documents") <= int(2e9),
+        use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
     ).sort(["doc_id"])
 
 
@@ -851,6 +850,37 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
 # kept set holds SELECT_BUDGET_PERMILLE of the corpus tokens (the greedy
 # quality-ranked selection a real pretraining data pipeline runs)
 SELECT_BUDGET_PERMILLE = 250  # keep the best 25% of corpus tokens
+
+
+
+def quality_int_table(sf_dir: str) -> Dataset:
+    """Session-memoized ``(doc_id, q_int, n_tokens)`` int table — q_int is
+    the 6dp-truncated quality in micro-units every quality gate compares
+    on, n_tokens the single-space token count.  Shared by
+    :func:`quality_budget_selection` and ``dedup.dedup_keep_best`` so a
+    many-query sweep pays ONE quality text pass, not one per consumer
+    (review finding: four independent full-corpus quality passes).  Uses
+    the dedup chain-cache policy (materialize + memoize under the corpus
+    byte gate, stream above it)."""
+    from .dedup import _chain_cached
+
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_components(df)["quality"]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "q_int": np.floor(q * 1e6).astype("int64"),
+                "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+            }
+        )
+
+    return _chain_cached(
+        sf_dir,
+        "quality_int",
+        lambda: read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            qi, batch_format="pandas"
+        ),
+    )
 
 
 def quality_budget_selection(sf_dir: str) -> Dataset:
@@ -883,19 +913,7 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
 
     from .agg import GroupSpec, grouped
 
-    def qi(df: pd.DataFrame) -> pd.DataFrame:
-        q = quality_components(df)["quality"]
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"],
-                "q_int": np.floor(q * 1e6).astype("int64"),
-                "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
-            }
-        )
-
-    tbl = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        qi, batch_format="pandas"
-    ).materialize()  # int rows only (16 B/doc) — read twice below
+    tbl = quality_int_table(sf_dir)  # session-memoized int rows
 
     hist = (
         grouped(
@@ -956,13 +974,13 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import hash_bucket_apply
+    from .agg import EXCHANGE_GATE_MAX_BYTES, hash_bucket_apply
 
     return hash_bucket_apply(
         tbl.map_batches(prune, batch_format="pandas"),
         ("q_int",),
         scan,
-        use_exchange=documents_bytes(sf_dir) <= int(2e9),
+        use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
     ).sort(["doc_id"])
 
 
