@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # data selection under a token budget (histogram cutoff + scan)
         "quality_budget_selection": text.quality_budget_selection,
         "train_val_split": text.train_val_split,  # leakage-proof hash split
+        "tfidf_topk": text.tfidf_topk,  # keyword extraction (exact int idf)
         # --- transcript log pipeline (SURVEY.md §2; north-rule surface) ---
         "sink_counts": core.sink_counts,  # A1/A4/A8 exact-match target
         "bucket_histogram": core.bucket_histogram,  # A2
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oracle.PACK_SEQUENCES,
         "quality_budget_selection": oracle.QUALITY_BUDGET_SELECTION,
         "train_val_split": oracle.TRAIN_VAL_SPLIT,
+        "tfidf_topk": oracle.TFIDF_TOPK,
         "decontaminate": oracle.DECONTAMINATE,
         "repetition_scores": oracle.REPETITION_SCORES,
         "source_mixture": oracle.SOURCE_MIXTURE,

@@ -1027,3 +1027,91 @@ def train_val_split(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id"]).map_batches(
         fn, batch_format="pandas"
     ).sort(["doc_id"])
+
+
+# ----------------------------------------------------------------- tf-idf
+TFIDF_K = 3  # terms reported per document
+
+
+def _docfreq_counts(sf_dir: str) -> Dataset:
+    """Corpus document frequencies: each block collapses to one (tok, df)
+    row per distinct token — a document lives wholly inside one batch, so
+    per-block distinct (doc, tok) pairs are globally distinct and the
+    :func:`~.agg.grouped` sum of per-block doc-counts IS the exact df."""
+    from .agg import GroupSpec, grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df["text"].str.split(" ").explode()
+        pairs = pd.DataFrame({"row": ex.index, "tok": ex.to_numpy()})
+        vc = pairs.drop_duplicates()["tok"].value_counts()
+        return pd.DataFrame(
+            {"tok": vc.index.astype(str), "cnt": vc.to_numpy(dtype=np.int64)}
+        )
+
+    return grouped(
+        read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",)),
+    )
+
+
+def tfidf_topk(sf_dir: str) -> Dataset:
+    """Top-``TFIDF_K`` terms per document by tf-idf — the classic keyword
+    extractor, with an EXACT integer score so parity is bit-perfect:
+    ``score_micro = tf · n_docs · 1_000_000 // df`` ranks identically to
+    tf·(N/df) (no transcendental idf, no float divergence); int64-safe for
+    corpora under ~4×10¹⁰ documents at tf ≤ 200 (guarded).
+
+    Two-phase broadcast-vocab shape (same as ``token_rarity``): phase 1
+    merges the vocabulary-sized (tok, df) table and broadcasts it once
+    (``ray.put`` + per-worker cache); phase 2 streams documents through one
+    vectorized tf + score + per-doc top-K pass.  No corpus-sized shuffle."""
+    import pyarrow as pa
+
+    from .corpus import corpus_rows
+
+    vt = pa.concat_tables(ray.get(_docfreq_counts(sf_dir).to_arrow_refs()))
+    dfmap = dict(
+        zip(
+            vt.column("tok").to_pylist(),
+            vt.column("sum_cnt").to_numpy().astype(np.int64).tolist(),
+        )
+    )
+    n_docs = corpus_rows(sf_dir, "documents")
+    df_ref = ray.put(dfmap)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = df_ref.hex()
+        v = _VOCAB_CACHE.get(key)
+        if v is None:
+            _VOCAB_CACHE.clear()
+            v = ray.get(df_ref)
+            _VOCAB_CACHE[key] = v
+        ex = df["text"].str.split(" ").explode()
+        tf = ex.groupby([ex.index, ex]).size()
+        rows = tf.index.get_level_values(0).to_numpy()
+        tokens = tf.index.get_level_values(1).to_numpy(dtype=object)
+        tfv = tf.to_numpy().astype(np.int64)
+        if tfv.size and int(tfv.max()) * n_docs > (1 << 62) // 1_000_000:
+            raise ValueError("tfidf_topk: score exceeds the int64 range")
+        dfv = pd.Series(tokens).map(v).to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "row": rows,
+                "token": tokens.astype(str),
+                "tf": tfv,
+                "df": dfv,
+                "score_micro": tfv * n_docs * 1_000_000 // dfv,
+            }
+        )
+        out = out.sort_values(
+            ["row", "score_micro", "token"], ascending=[True, False, True]
+        )
+        out = out.groupby("row", sort=False).head(TFIDF_K)
+        out["doc_id"] = df["doc_id"].to_numpy()[out["row"].to_numpy()]
+        return out[["doc_id", "token", "tf", "df", "score_micro"]]
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    ).sort(["doc_id", "token"])

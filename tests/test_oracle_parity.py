@@ -50,6 +50,7 @@ _TABLE_SQL = {
     "pack_sequences": oracle.PACK_SEQUENCES,
     "quality_budget_selection": oracle.QUALITY_BUDGET_SELECTION,
     "train_val_split": oracle.TRAIN_VAL_SPLIT,
+    "tfidf_topk": oracle.TFIDF_TOPK,
     "decontaminate": oracle.DECONTAMINATE,
     "repetition_scores": oracle.REPETITION_SCORES,
     "source_mixture": oracle.SOURCE_MIXTURE,
