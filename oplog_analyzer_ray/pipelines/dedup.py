@@ -8,8 +8,10 @@ SampleCommand.java:275-290):
 - MinHash signatures (k=16, min-md5 per seeded shingle hash);
 - LSH banding (b=8 bands × r=2 rows) → candidate pairs via band-key self-join;
 - exact n-gram Jaccard verification of the candidates;
-- SimHash (64-bit, token-frequency weighted) — no SQL oracle (bit-twiddling
-  SQL would be its own engine); covered by property tests instead.
+- SimHash (64-bit, token-frequency weighted) — EXACT bit-arithmetic SQL
+  oracle (oracle.SIMHASH64) plus property tests;
+- connected-components clustering, the min-id and best-quality canonical
+  decisions, all with exact recursive-CTE oracles.
 
 Scale notes: signatures/banding are embarrassingly-parallel ``map_batches``;
 the candidate self-join co-locates rows by hash of the band key (bucketed

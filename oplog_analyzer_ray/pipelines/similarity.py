@@ -6,8 +6,9 @@
   numpy matmul against the L2-normalized query matrix and keeps its local
   top-k, so only blocks×k×q candidate rows leave the map stage.
 - ``knn_lsh``: random-hyperplane LSH-bucketed approximate variant — the
-  scale path (search only the query's bucket ± hamming-1 probes).  No SQL
-  oracle (approximate); recall vs brute-force pinned in tests.
+  scale path (search only the query's bucket ± hamming-1 probes).  EXACT
+  SQL oracle (index artifacts embedded as literals, search re-derived in
+  DuckDB); recall vs brute-force additionally pinned in tests.
 
 Scale: brute-force cost is rows × q × d multiply-adds, embarrassingly
 parallel, no shuffle.  The LSH variant cuts the scanned fraction to
@@ -388,7 +389,9 @@ def embedding_near_dups_lsh(
     ``2·emit_radius`` planes, so recall depends on the threshold angle:
     ~0.97 at cos 0.4 (pinned by tests/test_dedup_similarity.py against the
     exact result); at high thresholds (0.9+) recall ≈ 1 and the pruning is
-    strongest.  No SQL oracle (approximate) — rows-only driver check."""
+    strongest.  EXACT SQL oracle despite being "approximate": the seeded
+    hyperplanes are embedded as SQL literals and the probe/bucket/kernel
+    search is re-derived in DuckDB (oracle.embedding_near_dups_lsh_sql)."""
     masks = [0]
     if emit_radius >= 1:
         masks += [1 << p for p in range(LSH_PLANES)]
@@ -500,7 +503,8 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
     clusters instead of random hyperplanes; better fit for clustered
     embeddings).  Same output schema / final-merge shape as
     ``knn_bruteforce``; recall vs brute force pinned in tests.  No SQL
-    oracle (approximate) — rows-only driver check."""
+    oracle: EXACT — the deterministic k-means centroids are embedded as
+    SQL literals and the probe search re-derived (oracle.knn_ivf_sql)."""
     qids, qmat = _load_queries(sf_dir)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     cents = _ivf_centroids(sf_dir)
