@@ -383,3 +383,30 @@ def test_batch_shingles_matches_per_row_reference():
         got.setdefault(int(r), []).append(s)
     for i, t in enumerate(texts):
         assert got[i] == _shingles(t), (i, t)
+
+
+def test_batch_shingles_hypothesis_random_texts():
+    """Property: for ANY batch of space-separated texts (including empties,
+    repeated tokens, single tokens), the vectorized shingler equals the
+    per-row reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    from oplog_analyzer_ray.pipelines.dedup import _batch_shingles, _shingles
+
+    token = st.text(alphabet="abxyz0", min_size=0, max_size=3)
+    text = st.lists(token, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(text, min_size=0, max_size=12))
+    def check(texts):
+        rows, sh = _batch_shingles(pd.Series(texts, dtype=object))
+        got: dict[int, list] = {}
+        for r, s in zip(rows, sh):
+            got.setdefault(int(r), []).append(s)
+        for i, t in enumerate(texts):
+            assert got.get(i, []) == _shingles(t)
+
+    check()
