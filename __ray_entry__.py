@@ -42,10 +42,11 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- first: the entries with no driver row yet (the round-3 sweep
-        # stopped at 50 of 63 — dict order is sweep order, so the
-        # never-checked tail runs FIRST this round; everything below it has
-        # a green r3 row already) ---
+        # --- RULE (permanent): every NEW query enters at the HEAD of this
+        # dict and stays there until it has a green driver row — the driver
+        # sweeps in dict order and checks a bounded window (~50), so a query
+        # registered below the window is never oracle-checked. ---
+        "dedup_keep_best": dedup.dedup_keep_best,  # only r4 query w/o a row
         "funnel": ev.funnel,  # ordered first-touch funnel
         "retention_cohorts": ev.retention_cohorts,  # weekly cohort retention
         "approx_distinct_users": ev.approx_distinct_users,  # KMV sketch
@@ -117,7 +118,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_pairs": dedup.lsh_candidate_pairs,
         "near_dup_jaccard": dedup.near_dup_jaccard,
         "dedup_clusters": dedup.dedup_clusters,  # CC over the near-dup graph
-        "dedup_keep_best": dedup.dedup_keep_best,  # quality-canonical keep
         # flagship compose: dedup-canonical ∩ quality ∩ stratified gate
         "curated_corpus": curate.curated_corpus,
         "simhash64": dedup.simhash64,

@@ -75,14 +75,21 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
     # Ray's sort emits schema-less EMPTY blocks for empty partitions (e.g. a
     # final tiny sort wider than its distinct keys), and
     # streaming_executor_state warns on every one — benign, but it buries
     # real warnings in the bench tail.  Not fixable from UDF return values
-    # (the empty bundles are produced by the sort operator itself).
+    # (the empty bundles are produced by the sort operator itself).  Drop
+    # ONLY that message pattern; genuine executor warnings (backpressure,
+    # spill) must stay visible.
+    class _DropEmptyBlockWarning(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "has no blocks" not in record.getMessage()
+
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(logging.ERROR)
+    ).addFilter(_DropEmptyBlockWarning())
 
     from oplog_analyzer_ray.pipelines import core
     from oplog_analyzer_ray.synth import ensure_transcripts

@@ -373,7 +373,11 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
     emits schema-LESS empty blocks (e.g. SplitBlocks over a tiny file);
     they carry no key columns, so scatter them as empties."""
     if isinstance(t, pd.DataFrame):
-        t = pa.Table.from_pandas(t, preserve_index=False)
+        # metadata-free: from_pandas schema metadata is unhashable and
+        # breaks Ray's downstream schema dedup (sort reduce warns per block)
+        t = pa.Table.from_pandas(
+            t, preserve_index=False
+        ).replace_schema_metadata(None)
     if t.num_rows == 0:
         return [t.schema.empty_table()] * buckets
     missing = [k for k in keys if k not in t.column_names]
@@ -388,8 +392,14 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
     order = np.argsort(b, kind="stable")
     t2 = t.take(pa.array(order))
     cuts = np.searchsorted(b[order], np.arange(buckets + 1))
+    # dictionary-encode repeated string columns per slice (same policy as
+    # _split_task): the group exchange carries every dedup join and all
+    # per-user events ops — string user_id / shingle key columns otherwise
+    # ship raw through the bandwidth-starved wide level
     return [
-        t2.slice(cuts[i], cuts[i + 1] - cuts[i]).combine_chunks()
+        _encode_exchange(
+            t2.slice(cuts[i], cuts[i + 1] - cuts[i]).combine_chunks()
+        )
         for i in range(buckets)
     ]
 
@@ -405,9 +415,11 @@ def _apply_group_task(fn, *shards: pa.Table) -> pa.Table:
     The no-split fast path (buckets == 1) feeds raw block refs here, so
     pandas blocks are normalized like on the split side."""
     parts = [
-        pa.Table.from_pandas(s, preserve_index=False)
+        pa.Table.from_pandas(s, preserve_index=False).replace_schema_metadata(
+            None
+        )
         if isinstance(s, pd.DataFrame)
-        else s
+        else _decode_exchange(s)
         for s in shards
     ]
     real = [p for p in parts if p.num_columns]

@@ -101,13 +101,32 @@ def _chain_cached(sf_dir: str, stage: str, make) -> Dataset:
     ds = _CHAIN_CACHE.get(key)
     if ds is None:
         ds = make().materialize()
-        if len(_CHAIN_CACHE) > 12:
-            _CHAIN_CACHE.clear()
+        while len(_CHAIN_CACHE) > 12:
+            # evict OLDEST only (dict preserves insertion order) — clearing
+            # the whole cache would thrash the active sf_dir's hot chain in
+            # a sweep that touches >3 corpora (4 stages each)
+            _CHAIN_CACHE.pop(next(iter(_CHAIN_CACHE)))
         _CHAIN_CACHE[key] = ds
     return ds
 
 
 # ------------------------------------------------------------------ helpers
+def _index_in_strict(values, value_set, what: str):
+    """``pc.index_in`` asserting every probe has a match: the bucketed joins
+    in verify()/dedup_keep_best rely on every probe/decision row having a
+    build/quality row in the SAME bucket (both sides bucketed on the same
+    key).  A null here means that invariant broke — the null→numpy
+    conversion would otherwise yield NaN/garbage indices and silently wrong
+    jaccard / arg-max keys, so fail loudly like the CC convergence guard."""
+    idx = pc.index_in(values, value_set=value_set)
+    if idx.null_count:
+        raise RuntimeError(
+            f"{what}: {idx.null_count} probe row(s) have no matching build "
+            "row in their bucket — co-partitioning invariant broken"
+        )
+    return idx
+
+
 def _shingles(text: str) -> list[str]:
     t = text.split(" ")
     if len(t) < 3:
@@ -600,8 +619,9 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
         sh_b = pc.list_flatten(b_col)
         par_b = pc.list_parent_indices(b_col).to_numpy()
         # map each probe row to its build-side row (doc_b's shingle set)
-        bpos = pc.index_in(
-            probe.column("join_id"), value_set=build.column("join_id")
+        bpos = _index_in_strict(
+            probe.column("join_id"), build.column("join_id"),
+            "near_dup_jaccard.verify",
         ).to_numpy(zero_copy_only=False)
         left = pd.DataFrame(
             {"b": bpos[par_a].astype(np.int64), "s": sh_a.to_pandas(), "p": par_a}
@@ -1027,7 +1047,9 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
         is_a = pc.equal(group.column("_side"), 0)
         a = group.filter(is_a)
         b = group.filter(pc.invert(is_a))
-        idx = pc.index_in(a.column("doc_id"), value_set=b.column("doc_id"))
+        idx = _index_in_strict(
+            a.column("doc_id"), b.column("doc_id"), "dedup_keep_best.join"
+        )
         q = pc.take(b.column("q_int"), idx).to_numpy(zero_copy_only=False)
         doc = a.column("doc_id").to_numpy(zero_copy_only=False)
         if doc.size and int(doc.max()) >= QKEY_BASE:

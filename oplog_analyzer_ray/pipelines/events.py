@@ -110,7 +110,12 @@ def _user_bucket_apply(sf_dir: str, ds: Dataset, fn, buckets: int) -> Dataset:
 
     def wrap(t: pa.Table) -> pa.Table:
         out = fn(t.to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # drop the from_pandas schema metadata: pa.Schema with metadata is
+        # UNHASHABLE (hash → "unhashable type: 'dict'"), and Ray's sort
+        # reduce warns on every block when schema dedup can't hash
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return hash_bucket_apply(
         ds,

@@ -275,12 +275,16 @@ def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn):
         if not len(df):
             return pa.Table.from_pandas(
                 _pair_frame([], [], []), preserve_index=False
-            )
+            ).replace_schema_metadata(None)
         out = pd.concat(
             [group_fn(g) for _, g in df.groupby(key, sort=False)],
             ignore_index=True,
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # metadata-free: pandas metadata makes the schema unhashable and
+        # Ray's sort reduce warns on every block (schema-dedup hash fails)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return hash_bucket_apply(
         ds,

@@ -683,26 +683,80 @@ def _unigram_counts(sf_dir: str) -> Dataset:
     )
 
 
+# ---- vocabulary bound for the broadcast-vocab family -----------------
+# The driver/broadcast dict must NOT grow with open-web corpus vocabulary
+# (the long tail is hapax-dominated: most distinct tokens appear once).
+# Contract: per-token counts are CLAMPED at a floor — count_eff =
+# max(count, FLOOR) / df_eff = max(df, FLOOR) — so only tokens STRICTLY
+# ABOVE the floor need a dict entry (a miss means "≤ floor", which clamps
+# to exactly FLOOR).  Pricing: #tokens with count > F is ≤ total_tokens /
+# (F+1) — a hard bound that shrinks 1/F with the floor, and in practice
+# far smaller (Zipf: the ≥3-occurrence vocabulary of a web corpus is
+# ~10⁷-10⁸ entries, node-memory-safe; raise the env floor if not).  The
+# oracle SQL mirrors the clamp via GREATEST(·, FLOOR).
+DF_FLOOR = int(os.environ.get("OPLOG_DF_FLOOR", 2))
+CNT_FLOOR = int(os.environ.get("OPLOG_CNT_FLOOR", 2))
+
+
+def _bounded_vocab(vd: Dataset, floor: int) -> dict:
+    """Driver dict of the (tok, sum_cnt) rows with ``sum_cnt > floor`` —
+    pruned AT THE DATASET PLANE (per-block filter before ``ray.get``), so
+    the driver never materializes the full vocabulary table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("sum_cnt"), floor))
+
+    vt = pa.concat_tables(
+        ray.get(
+            vd.map_batches(above, batch_format="pyarrow").to_arrow_refs()
+        )
+    )
+    return dict(
+        zip(
+            vt.column("tok").to_pylist(),
+            vt.column("sum_cnt").to_numpy().astype(np.int64).tolist(),
+        )
+    )
+
+
+def _vocab_total(vd: Dataset) -> int:
+    """Exact Σ sum_cnt over the vocabulary dataset via per-block partial
+    sums — one tiny row per block reaches the driver, never the vocab."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        s = pc.sum(t.column("sum_cnt")).as_py() or 0
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    parts = pa.concat_tables(
+        ray.get(vd.map_batches(part, batch_format="pyarrow").to_arrow_refs())
+    )
+    return int(pc.sum(parts.column("s")).as_py() or 0)
+
+
 def token_rarity(sf_dir: str) -> Dataset:
     """Perplexity-proxy fluency signal per document: ``commonness`` = mean
-    corpus frequency of the document's tokens (= Σ count(tok) / (n_tokens ·
-    total_tokens), an all-integer ratio so parity is bit-exact) and
-    ``rarest_token_count`` = the corpus count of the document's rarest
-    token.  Docs full of hapax/garbage tokens score near 0; boilerplate
-    scores high — the cheap stand-in for an LM perplexity filter.
+    clamped corpus frequency of the document's tokens (= Σ max(count(tok),
+    CNT_FLOOR) / (n_tokens · total_tokens), an all-integer ratio so parity
+    is bit-exact) and ``rarest_token_count`` = max(corpus count of the
+    document's rarest token, CNT_FLOOR).  Docs full of hapax/garbage tokens
+    score near 0; boilerplate scores high — the cheap stand-in for an LM
+    perplexity filter.  The CNT_FLOOR clamp (documented at the constant) is
+    what bounds the broadcast dict at open-web vocabulary scale; the
+    denominator ``total_tokens`` stays the EXACT corpus token count
+    (computed as a scalar, no dict needed).
 
     Two-phase scale shape: phase 1 aggregates unigram counts (vocabulary-
-    sized exchange; the vocab table is sublinear in corpus size — ~10⁷
-    entries even at web scale — and IS materialized and broadcast whole,
-    ``ray.put`` once, per-worker cache); phase 2 streams documents through
-    one vectorized scoring pass.  No corpus-sized shuffle."""
-    import pyarrow as pa
-
-    vt = pa.concat_tables(ray.get(_unigram_counts(sf_dir).to_arrow_refs()))
-    cnts = vt.column("sum_cnt").to_numpy().astype(np.int64)
-    total = int(cnts.sum())
-    vocab = dict(zip(vt.column("tok").to_pylist(), cnts.tolist()))
-    vocab_ref = ray.put(vocab)
+    sized exchange), prunes to the > CNT_FLOOR head at the dataset plane,
+    and broadcasts that bounded dict (``ray.put`` once, per-worker cache);
+    phase 2 streams documents through one vectorized scoring pass.  No
+    corpus-sized shuffle; no driver structure that grows with vocabulary."""
+    vd = _unigram_counts(sf_dir)
+    total = _vocab_total(vd)
+    vocab_ref = ray.put(_bounded_vocab(vd, CNT_FLOOR))
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         key = vocab_ref.hex()  # stable ref identity (see _DECON_CACHE note)
@@ -713,7 +767,8 @@ def token_rarity(sf_dir: str) -> Dataset:
             _VOCAB_CACHE[key] = v
         toks = df["text"].str.split(" ")
         n = toks.str.len().astype("int64")
-        c = toks.explode().map(v).astype("int64")
+        # dict miss == "count ≤ CNT_FLOOR", which clamps to exactly the floor
+        c = toks.explode().map(v).fillna(CNT_FLOOR).astype("int64")
         s = c.groupby(level=0).sum().reindex(df.index).astype("int64")
         rarest = c.groupby(level=0).min().reindex(df.index).astype("int64")
         return pd.DataFrame(
@@ -1059,27 +1114,26 @@ def _docfreq_counts(sf_dir: str) -> Dataset:
 def tfidf_topk(sf_dir: str) -> Dataset:
     """Top-``TFIDF_K`` terms per document by tf-idf — the classic keyword
     extractor, with an EXACT integer score so parity is bit-perfect:
-    ``score_micro = tf · n_docs · 1_000_000 // df`` ranks identically to
-    tf·(N/df) (no transcendental idf, no float divergence); int64-safe for
-    corpora under ~4×10¹⁰ documents at tf ≤ 200 (guarded).
+    ``score_micro = tf · n_docs · 1_000_000 // max(df, DF_FLOOR)`` ranks
+    identically to tf·(N/df_eff) (no transcendental idf, no float
+    divergence); int64-safe for corpora under ~4×10¹⁰ documents at tf ≤ 200
+    (guarded).  The DF_FLOOR clamp (documented at the constant) is what
+    bounds the broadcast dict at open-web vocabulary scale: only tokens
+    with df > DF_FLOOR carry an entry; a miss means df ≤ floor, which
+    clamps to exactly DF_FLOOR.  The output ``df`` column is the effective
+    (clamped) df — the engine provably cannot know the exact df of a token
+    it pruned, and the oracle mirrors the same GREATEST.
 
     Two-phase broadcast-vocab shape (same as ``token_rarity``): phase 1
-    merges the vocabulary-sized (tok, df) table and broadcasts it once
-    (``ray.put`` + per-worker cache); phase 2 streams documents through one
-    vectorized tf + score + per-doc top-K pass.  No corpus-sized shuffle."""
-    import pyarrow as pa
-
+    merges the vocabulary-sized (tok, df) table, prunes to the > DF_FLOOR
+    head at the dataset plane, and broadcasts that bounded dict (``ray.put``
+    + per-worker cache); phase 2 streams documents through one vectorized
+    tf + score + per-doc top-K pass.  No corpus-sized shuffle; no driver
+    structure that grows with vocabulary."""
     from .corpus import corpus_rows
 
-    vt = pa.concat_tables(ray.get(_docfreq_counts(sf_dir).to_arrow_refs()))
-    dfmap = dict(
-        zip(
-            vt.column("tok").to_pylist(),
-            vt.column("sum_cnt").to_numpy().astype(np.int64).tolist(),
-        )
-    )
     n_docs = corpus_rows(sf_dir, "documents")
-    df_ref = ray.put(dfmap)
+    df_ref = ray.put(_bounded_vocab(_docfreq_counts(sf_dir), DF_FLOOR))
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         key = df_ref.hex()
@@ -1095,7 +1149,10 @@ def tfidf_topk(sf_dir: str) -> Dataset:
         tfv = tf.to_numpy().astype(np.int64)
         if tfv.size and int(tfv.max()) * n_docs > (1 << 62) // 1_000_000:
             raise ValueError("tfidf_topk: score exceeds the int64 range")
-        dfv = pd.Series(tokens).map(v).to_numpy(dtype=np.int64)
+        # dict miss == "df ≤ DF_FLOOR", which clamps to exactly the floor
+        dfv = (
+            pd.Series(tokens).map(v).fillna(DF_FLOOR).to_numpy(dtype=np.int64)
+        )
         out = pd.DataFrame(
             {
                 "row": rows,

@@ -255,7 +255,9 @@ def test_source_mixture_skewed_corpus_parity(tmp_path, duck):
 def test_token_rarity_tiny_corpus_parity(tmp_path, duck):
     """Rarity signal on a corpus with one common token and hapaxes: the
     boilerplate doc scores higher commonness than the hapax-heavy doc, the
-    hapax doc's rarest_token_count is 1, and the SQL oracle agrees."""
+    hapax doc's rarest_token_count clamps to CNT_FLOOR (the bounded-vocab
+    contract: counts ≤ the floor carry no dict entry), and the SQL oracle
+    agrees."""
     from oplog_analyzer_ray import oracle
     from oplog_analyzer_ray.pipelines.text import token_rarity
     from .util import assert_frames_match
@@ -285,10 +287,14 @@ def test_token_rarity_tiny_corpus_parity(tmp_path, duck):
     assert_frames_match(
         got.reset_index(drop=True), want.reset_index(drop=True), "token_rarity"
     )
+    from oplog_analyzer_ray.pipelines.text import CNT_FLOOR
+
     r = got.set_index("doc_id")
     assert r.loc[1, "commonness"] > r.loc[2, "commonness"]
-    assert r.loc[2, "rarest_token_count"] == 1
-    assert r.loc[1, "rarest_token_count"] == 7  # 'the' appears 7x
+    # hapaxes (true count 1) clamp to the floor — the broadcast dict holds
+    # only tokens with count > CNT_FLOOR, so a miss means "≤ floor"
+    assert r.loc[2, "rarest_token_count"] == CNT_FLOOR
+    assert r.loc[1, "rarest_token_count"] == 7  # 'the' appears 7x (> floor)
 
 
 def test_funnel_strict_ordering_and_bucket_invariance(tmp_path, duck):
