@@ -405,7 +405,7 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
 
 
 @ray.remote
-def _apply_group_task(fn, *shards: pa.Table) -> pa.Table:
+def _apply_group_task(fn, empty: pa.Table | None, *shards: pa.Table) -> pa.Table:
     """Reduce side of :func:`hash_bucket_apply`: every row of a key lands
     in exactly one bucket, so ``fn`` over the concatenated shards sees the
     complete groups.  ``fn`` must accept an empty (schema-correct) table —
@@ -425,9 +425,10 @@ def _apply_group_task(fn, *shards: pa.Table) -> pa.Table:
     real = [p for p in parts if p.num_columns]
     if not real:
         # every shard schema-less (fully empty exchanged dataset): the
-        # bucket's result is empty by definition — don't hand fn a
-        # zero-column table it cannot interpret
-        return parts[0]
+        # bucket's result is empty by definition — return the caller's
+        # schema-correct empty table when given (downstream .sort()/select
+        # on named columns stays typed), else the zero-column empty
+        return empty.schema.empty_table() if empty is not None else parts[0]
     return fn(pa.concat_tables(real, promote_options="default"))
 
 
@@ -437,11 +438,17 @@ def hash_bucket_apply(
     fn,
     buckets: int | None = None,
     use_exchange: bool = True,
+    empty: pa.Table | None = None,
 ) -> Dataset:
     """Generalized bucketed-groups operator: co-locate rows by hash of
     ``keys`` and run ``fn`` (pa.Table → pa.Table) once per bucket with all
     of a key's rows present — the primitive under every hand-rolled join
     in the dedup/curation family.
+
+    ``empty``: optional schema template for the degenerate all-empty
+    exchange (a fully-empty input produces schema-LESS blocks, which a
+    downstream ``.sort()``/select on named columns would reject); when
+    given, empty buckets return ``empty.schema.empty_table()``.
 
     Two plans, same results:
     - ``use_exchange=True`` (bounded inputs — the caller gates on corpus
@@ -465,7 +472,7 @@ def hash_bucket_apply(
 
             if buckets == 1:  # degenerate width: no split pass needed
                 return _rd.from_arrow_refs(
-                    [_apply_group_task.remote(fn, *refs)]
+                    [_apply_group_task.remote(fn, empty, *refs)]
                 )
             split = [
                 _split_group_task.options(num_returns=buckets).remote(
@@ -475,7 +482,7 @@ def hash_bucket_apply(
             ]
             return _rd.from_arrow_refs(
                 [
-                    _apply_group_task.remote(fn, *[s[b] for s in split])
+                    _apply_group_task.remote(fn, empty, *[s[b] for s in split])
                     for b in range(buckets)
                 ]
             )

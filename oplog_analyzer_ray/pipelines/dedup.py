@@ -534,7 +534,17 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
     the exchanges — candidate pairs are rare by LSH construction, so the
     carried set payloads stay proportional to the candidate count, and the
     documents table itself is never materialized anywhere."""
-    cands = _candidate_pairs_ds(sf_dir)
+    return verify_candidates(sf_dir, _candidate_pairs_ds(sf_dir))
+
+
+def verify_candidates(sf_dir: str, cands: Dataset) -> Dataset:
+    """The verify stage of :func:`_jaccard_pairs_uncached` over an ARBITRARY
+    candidate-pair dataset (columns ``doc_a``, ``doc_b``) — split out so an
+    adversarially large candidate set (hundreds of millions of pairs, whose
+    carried shingle payloads would otherwise monopolize the object store in
+    one wave) can be driven in bounded, resumable WAVES: partition the
+    candidates by hash, call this per wave, and union/accumulate the
+    verified outputs.  ``stress.py --mode adversarial`` is the harness."""
 
     def pairs_hop1(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -658,6 +668,7 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
         verify,
         buckets,
         use_exchange=exchange,
+        empty=_EMPTY_VERIFIED,
     )
 
 

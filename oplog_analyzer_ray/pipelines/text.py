@@ -990,9 +990,11 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
         }
     )
     if budget == 0:
-        import ray.data as _rd
-
-        return _rd.from_arrow(empty)
+        # a 0-row block through ray.data loses its schema entirely
+        # (from_arrow/from_pandas of an empty table → zero-column dataset),
+        # so return the typed empty table itself — every consumer (driver,
+        # tests) accepts Dataset | DataFrame | pa.Table alike
+        return empty
     base = dict(
         zip(
             hist["q_int"].to_numpy(),

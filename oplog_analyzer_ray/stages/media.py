@@ -5,13 +5,24 @@ an actor-pool ``map_batches`` stage — the shape a real image/audio decode
 stage would have (model/codec loaded once per actor in ``__init__``, small
 batches because payloads are wide).
 
-The actual codec is STUBBED: this container has no image/audio libraries, so
-``MediaFeatureStage`` ships a deterministic fake "decode" (byte length, md5
-fingerprint, fake frame count) and raises ``NotImplementedError`` if a real
-codec is requested.  The Ray-side plumbing — schema, actor signature, batch
-size, output layout — is real and tested, and the fake features have an
-exact DuckDB oracle (octet_length/md5), so the pipeline contract is verified
-end-to-end even without a codec.
+Codecs: this container has no image/audio libraries, so exotic formats stay
+behind a fail-fast ``NotImplementedError`` boundary — but TWO real decodes
+exist with stdlib only and are first-class codec choices:
+
+- ``codec="ppm"`` / ``"pgm"``: binary PNM (P6/P5) parsed straight from the
+  Arrow byte buffer (header token scan + numpy raster view) → real width /
+  height / maxval / mean pixel value;
+- ``codec="wav"``: RIFF WAVE via the stdlib ``wave`` module → real channel
+  count / sample rate / sample count / RMS amplitude.
+
+``codec=None`` keeps the deterministic fake decode (byte length, md5
+fingerprint, fake frame count) used by the driver queries over the text
+corpus (whose payloads are not media files).  The Ray-side plumbing —
+schema, actor signature, batch size, output layout — is identical for all
+codecs, and the fake features have an exact DuckDB oracle
+(octet_length/md5), so the pipeline contract is verified end-to-end; the
+real decodes are pinned by synthetic PPM/WAV fixtures in pytest
+(tests/test_media_decode.py).
 """
 
 from __future__ import annotations
@@ -64,20 +75,89 @@ def _ragged_arange(counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return row, within
 
 
+def _decode_pnm(mv: memoryview, magic: bytes) -> tuple[int, int, int, float]:
+    """Real binary-PNM decode from a zero-copy buffer slice: parse the
+    whitespace/comment-tokenized header (P6=PPM RGB, P5=PGM gray), then view
+    the raster as a numpy array (uint8, or big-endian uint16 when
+    maxval > 255 — the PNM wire format).  Returns (width, height, maxval,
+    mean pixel value).  Stdlib+numpy only — no image library."""
+    b = bytes(mv[:2])
+    if b != magic:
+        raise ValueError(f"not a {magic.decode()} file (magic {b!r})")
+    # header: magic, width, height, maxval as ASCII tokens; '#' starts a
+    # comment running to end-of-line; ONE whitespace byte ends the header
+    vals: list[int] = []
+    i = 2
+    n = len(mv)
+    while len(vals) < 3:
+        while i < n and mv[i : i + 1].tobytes().isspace():
+            i += 1
+        if i < n and mv[i] == ord("#"):
+            while i < n and mv[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < n and not mv[j : j + 1].tobytes().isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        vals.append(int(bytes(mv[i:j])))
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    width, height, maxval = vals
+    n_ch = 3 if magic == b"P6" else 1
+    n_px = width * height * n_ch
+    raster = np.frombuffer(mv, dtype=(">u2" if maxval > 255 else np.uint8),
+                           count=n_px, offset=i)
+    if raster.size != n_px:
+        raise ValueError("truncated PNM raster")
+    mean = float(raster.astype(np.float64).mean()) if n_px else 0.0
+    return width, height, maxval, mean
+
+
+def _decode_wav(mv: memoryview) -> tuple[int, int, int, float]:
+    """Real WAV decode via the stdlib ``wave`` module: returns
+    (n_channels, sample_rate, n_samples, RMS amplitude) with samples
+    normalized to centered ints (8-bit WAV is unsigned — recentred at 0)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(mv))) as w:
+        nch = w.getnchannels()
+        sw = w.getsampwidth()
+        rate = w.getframerate()
+        nf = w.getnframes()
+        raw = w.readframes(nf)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} not supported")
+    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+    return nch, rate, nf, rms
+
+
 class MediaFeatureStage:
     """Actor-pool feature extractor over binary payloads.
 
-    ``codec=None`` (the only supported value here) uses the deterministic
-    fake decode; any real codec name raises at actor construction — the
-    stub boundary is explicit and fails fast, not silently wrong.
+    ``codec=None`` uses the deterministic fake decode (the text-corpus
+    driver queries); ``"ppm"``/``"pgm"``/``"wav"`` run the REAL stdlib
+    decoders above (per-payload loop — a payload is one opaque media file,
+    so the decode is inherently per-row; it IS the work of this stage);
+    any other codec raises at actor construction — the boundary is
+    explicit and fails fast, not silently wrong.
     """
 
+    _REAL = ("ppm", "pgm", "wav")
+
     def __init__(self, codec: str | None = None):
-        if codec is not None:
+        if codec is not None and codec not in self._REAL:
             raise NotImplementedError(
                 f"media codec {codec!r} not available in this environment; "
-                "only the deterministic stub (codec=None) is supported"
+                f"supported: None (deterministic stub) or {self._REAL}"
             )
+        self._codec = codec
         self._md5 = hashlib.md5  # "codec" loaded once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -88,14 +168,41 @@ class MediaFeatureStage:
             for i in range(batch.num_rows)
         ]
         lens = offs[1:] - offs[:-1]
+        base = {
+            "media_id": batch.column("media_id"),
+            "n_bytes": pa.array(lens, pa.int64()),
+            "fp8": pa.array(fp8, pa.string()),
+        }
+        if self._codec is None:
+            return pa.table(
+                base
+                | {
+                    "n_frames": pa.array(
+                        lens // FAKE_FRAME_BYTES + 1, pa.int64()
+                    )
+                }
+            )
+        rows = [mv[offs[i] : offs[i + 1]] for i in range(batch.num_rows)]
+        if self._codec == "wav":
+            dec = [_decode_wav(r) for r in rows]
+            return pa.table(
+                base
+                | {
+                    "n_channels": pa.array([d[0] for d in dec], pa.int64()),
+                    "sample_rate": pa.array([d[1] for d in dec], pa.int64()),
+                    "n_samples": pa.array([d[2] for d in dec], pa.int64()),
+                    "rms": pa.array([d[3] for d in dec], pa.float64()),
+                }
+            )
+        magic = b"P6" if self._codec == "ppm" else b"P5"
+        dec = [_decode_pnm(r, magic) for r in rows]
         return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "n_bytes": pa.array(lens, pa.int64()),
-                "fp8": pa.array(fp8, pa.string()),
-                "n_frames": pa.array(
-                    lens // FAKE_FRAME_BYTES + 1, pa.int64()
-                ),
+            base
+            | {
+                "width": pa.array([d[0] for d in dec], pa.int64()),
+                "height": pa.array([d[1] for d in dec], pa.int64()),
+                "maxval": pa.array([d[2] for d in dec], pa.int64()),
+                "mean_value": pa.array([d[3] for d in dec], pa.float64()),
             }
         )
 
@@ -277,4 +384,24 @@ def media_features(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         batch_size=MEDIA_BATCH_SIZE,
         concurrency=(1, 4),
+    )
+
+
+def media_decode_features(media_path: str, codec: str) -> Dataset:
+    """END-TO-END REAL DECODE pipeline: a parquet table of
+    ``(media_id int64, payload binary)`` rows — actual PPM/PGM/WAV file
+    bytes — through the same actor-pool stage as :func:`media_features`,
+    with the named real codec.  This is the production shape for a media
+    corpus: payloads stay opaque binary through the scan, decode once per
+    actor-pool batch, only typed features leave the stage."""
+    return (
+        ray.data.read_parquet(media_path, columns=["media_id", "payload"])
+        .map_batches(
+            MediaFeatureStage,
+            fn_constructor_kwargs={"codec": codec},
+            batch_format="pyarrow",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+        )
+        .sort(["media_id"])
     )
