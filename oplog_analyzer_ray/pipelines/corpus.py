@@ -51,3 +51,22 @@ def corpus_rows(sf_dir: str, name: str) -> int:
 def corpus_bytes(sf_dir: str, name: str) -> int:
     """On-disk corpus size summed across however many files it spans."""
     return sum(os.path.getsize(f) for f in corpus_files(sf_dir, name))
+
+
+def clean_read_schema(sf_dir: str, name: str, columns: list[str] | None):
+    """Metadata-free Arrow schema for ``read_parquet(columns=...)`` —
+    pruned to the selected columns (Ray requires schema ≡ selection).
+
+    Why: corpora written via pandas carry ``b'pandas'`` schema metadata, and
+    a ``pa.Schema`` WITH metadata is unhashable (``hash()`` raises
+    "unhashable type: 'dict'") — Ray's read/sort schema-dedup then logs a
+    warning per block bundle.  Passing the stripped schema at the scan
+    keeps every downstream block metadata-free.  Footer-only: no data scan.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full = pq.read_schema(corpus_files(sf_dir, name)[0]).remove_metadata()
+    if columns is None:
+        return full
+    return pa.schema([full.field(c) for c in columns])

@@ -210,9 +210,19 @@ def exact_dedup(sf_dir: str) -> Dataset:
 # ------------------------------------------------------------------ minhash
 def minhash_signatures(sf_dir: str) -> Dataset:
     """k=16 MinHash signature per document (int64 minima of the seeded
-    universal hashes).  ONE md5 per distinct shingle in the batch (repeated
-    boilerplate shingles hash once); the 16 seeded variants and per-doc
-    minima are pure numpy."""
+    universal hashes), session-memoized: the signature pass feeds both its
+    own query surface and the banding stage of ``_candidate_pairs_ds`` — a
+    many-query sweep previously paid the shingle+md5 pass twice (see
+    ``_chain_cached``)."""
+    return _chain_cached(
+        sf_dir, "minhash_sigs", lambda: _minhash_signatures_uncached(sf_dir)
+    )
+
+
+def _minhash_signatures_uncached(sf_dir: str) -> Dataset:
+    """ONE md5 per distinct shingle in the batch (repeated boilerplate
+    shingles hash once); the 16 seeded variants and per-doc minima are pure
+    numpy."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -584,14 +594,14 @@ def verify_candidates(sf_dir: str, cands: Dataset) -> Dataset:
 
     buckets = dyn_buckets(MERGE_BUCKETS)
     exchange = _use_exchange(sf_dir)
-    sh_side = _shingle_side(sf_dir)
-    # the shingle build side feeds BOTH join hops; on a small corpus,
-    # materializing it once (object store, spillable) beats re-reading and
-    # re-shingling the documents per hop.  Gated on the on-disk size summed
-    # across however many files the corpus spans — at corpus scale the
-    # recompute streams instead of pinning the store.
-    if exchange:
-        sh_side = sh_side.materialize()
+    # the shingle build side feeds BOTH join hops AND every wave of a
+    # chunked stress verify; session-memoize it under the same corpus-size
+    # gate (object store, spillable) — at corpus scale the recompute
+    # streams instead of pinning the store (_chain_cached falls through to
+    # the raw plan above the gate, which is exactly the exchange gate too).
+    sh_side = _chain_cached(
+        sf_dir, "shingle_side", lambda: _shingle_side(sf_dir)
+    )
     hop1 = hash_bucket_apply(
         sh_side.union(cands.map_batches(pairs_hop1, batch_format="pyarrow")),
         ("join_id",),

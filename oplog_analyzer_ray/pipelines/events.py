@@ -48,12 +48,15 @@ def events_path(sf_dir: str) -> str:
 
 def read_events(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     """Column-pruned events scan; ~2 blocks per CPU so a single-file corpus
-    doesn't serialize the pre-shuffle stages onto one core."""
+    doesn't serialize the pre-shuffle stages onto one core.  Metadata-free
+    scan schema (see corpus.clean_read_schema)."""
     from .agg import dyn_buckets
+    from .corpus import clean_read_schema
 
     return ray.data.read_parquet(
         events_path(sf_dir),
         columns=columns,
+        schema=clean_read_schema(sf_dir, "events", columns),
         override_num_blocks=dyn_buckets(16),
     )
 

@@ -79,11 +79,14 @@ def _emb_files(sf_dir: str) -> list[str]:
 
 def read_embeddings(sf_dir: str) -> Dataset:
     """~2 blocks per CPU so single-file corpora don't serialize the matmul
-    kernels onto one core (no-op cap at real many-file scale)."""
+    kernels onto one core (no-op cap at real many-file scale).  Metadata-
+    free scan schema (see corpus.clean_read_schema)."""
     from .agg import dyn_buckets
+    from .corpus import clean_read_schema
 
     return ray.data.read_parquet(
         embeddings_path(sf_dir),
+        schema=clean_read_schema(sf_dir, "embeddings", None),
         override_num_blocks=dyn_buckets(16),
     )
 

@@ -58,10 +58,12 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     regardless of the input file layout; at real scale (many files) the
     hint is a no-op cap."""
     from .agg import dyn_buckets
+    from .corpus import clean_read_schema
 
     return ray.data.read_parquet(
         documents_path(sf_dir),
         columns=columns,
+        schema=clean_read_schema(sf_dir, "documents", columns),
         override_num_blocks=dyn_buckets(16),
     )
 

@@ -258,8 +258,12 @@ def media_frame_sample(sf_dir: str) -> Dataset:
     """Frame-sampling pipeline: payload → every-4th-frame rows with per-
     frame byte-slice fingerprints.  Oracle: unnest(range(...)) + BLOB
     substring/md5 SQL over the same rows."""
+    from ..pipelines.corpus import clean_read_schema
+
     docs = ray.data.read_parquet(
-        documents_path(sf_dir), columns=["doc_id", "text"]
+        documents_path(sf_dir),
+        columns=["doc_id", "text"],
+        schema=clean_read_schema(sf_dir, "documents", ["doc_id", "text"]),
     )
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -337,8 +341,12 @@ def media_resize(sf_dir: str) -> Dataset:
     """Resize pipeline: payload → downsampled payload + metadata.  The
     query surface drops the binary column (oracle compares the metadata +
     fingerprint; the payload is the downstream input, not the report)."""
+    from ..pipelines.corpus import clean_read_schema
+
     docs = ray.data.read_parquet(
-        documents_path(sf_dir), columns=["doc_id", "text"]
+        documents_path(sf_dir),
+        columns=["doc_id", "text"],
+        schema=clean_read_schema(sf_dir, "documents", ["doc_id", "text"]),
     )
 
     def to_payload(t: pa.Table) -> pa.Table:
@@ -367,8 +375,12 @@ def media_resize(sf_dir: str) -> Dataset:
 def media_features(sf_dir: str) -> Dataset:
     """documents.text re-encoded as a binary payload column → actor-pool
     feature extraction.  Oracle: octet_length/md5 SQL over the same rows."""
+    from ..pipelines.corpus import clean_read_schema
+
     docs = ray.data.read_parquet(
-        documents_path(sf_dir), columns=["doc_id", "text"]
+        documents_path(sf_dir),
+        columns=["doc_id", "text"],
+        schema=clean_read_schema(sf_dir, "documents", ["doc_id", "text"]),
     )
 
     def to_payload(t: pa.Table) -> pa.Table:

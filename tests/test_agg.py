@@ -222,3 +222,89 @@ def test_hash_bucket_apply_paths_agree():
         pd.testing.assert_frame_equal(outs[0], other)
     want = df.groupby("k", as_index=False)["v"].sum().rename(columns={"v": "s"})
     pd.testing.assert_frame_equal(outs[0], want.astype({"s": "int64"}))
+
+
+def test_hash_bucket_apply_string_keys_dict_encoded_roundtrip():
+    """The group exchange dictionary-encodes repeated STRING key columns per
+    slice; fn must see plain (decoded) strings and results must match the
+    sort path exactly — the regression for the encode/decode pair on
+    _split_group_task/_apply_group_task."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from oplog_analyzer_ray.pipelines.agg import hash_bucket_apply
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "user_id": [f"user_{i:03d}" for i in rng.integers(0, 40, 4000)],
+            "v": rng.integers(0, 100, 4000),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    def per_key(t: pa.Table) -> pa.Table:
+        # the exchange must hand fn PLAIN strings, never dictionary arrays
+        # (fn runs in remote tasks — raising is how the check propagates)
+        if pa.types.is_dictionary(t.schema.field("user_id").type):
+            raise TypeError("dictionary-encoded key leaked into fn")
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.string()),
+                 "s": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["user_id"]).aggregate([("v", "sum")])
+        return pa.table({"user_id": g.column("user_id"), "s": g.column("v_sum")})
+
+    got = (
+        hash_bucket_apply(ds, ("user_id",), per_key, 8, use_exchange=True)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("user_id", as_index=False)["v"]
+        .sum()
+        .rename(columns={"v": "s"})
+        .astype({"s": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_bucket_apply_empty_input_keeps_schema():
+    """A fully-empty exchanged dataset with an ``empty`` template yields
+    schema-correct empty blocks (downstream sort/select stays typed)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from oplog_analyzer_ray.pipelines.agg import hash_bucket_apply
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "v": pd.Series([], dtype="int64")})
+    )
+    empty = pa.table(
+        {"k": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+    )
+
+    def per_key(t: pa.Table) -> pa.Table:
+        g = t.group_by(["k"]).aggregate([("v", "sum")])
+        return pa.table({"k": g.column("k"), "s": g.column("v_sum")})
+
+    out = hash_bucket_apply(
+        ds, ("k",), per_key, 4, use_exchange=True, empty=empty
+    )
+    got = out.sort(["k"]).to_pandas()
+    assert got.columns.tolist() == ["k", "s"] or got.empty
+    # the arrow schema of every block is the template's
+    for ref in out.to_arrow_refs():
+        import ray as _ray
+
+        t = _ray.get(ref)
+        if hasattr(t, "schema"):
+            assert t.schema.names == ["k", "s"]

@@ -721,3 +721,35 @@ def test_quality_budget_selection_boundary_ties_parity(tmp_path, duck):
     assert_frames_match(got, want, "quality_budget_selection[ties]")
     assert list(got["doc_id"]) == [0, 1]
     assert list(got["cum_excl"]) == [0, 8]
+
+
+def test_bounded_vocab_prunes_at_floor(tmp_path):
+    """The broadcast dict holds ONLY tokens with count strictly above the
+    floor — the structural guarantee that no driver/worker dict grows with
+    open-web vocabulary (hapaxes and near-hapaxes clamp via dict-miss)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.text import (
+        _bounded_vocab,
+        _unigram_counts,
+        _vocab_total,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "lang": pa.array(["en", "en"]),
+                "text": pa.array(["aa aa aa bb bb cc", "aa dd"]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    vd = _unigram_counts(str(tmp_path))
+    # exact total is computed WITHOUT the dict (scalar partial sums)
+    assert _vocab_total(vd) == 8
+    # floor=2: only tokens with count > 2 get entries (aa=4); bb (=2),
+    # cc/dd (=1) are pruned and clamp to the floor on lookup miss
+    assert _bounded_vocab(vd, 2) == {"aa": 4}
+    assert _bounded_vocab(vd, 1) == {"aa": 4, "bb": 2}
