@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
+        "semantic_dedup": similarity.semantic_dedup,
+        "dedup_cluster_sizes": dedup.dedup_cluster_sizes,  # dedup rollup (r5)
         "dedup_keep_best": dedup.dedup_keep_best,  # only r4 query w/o a row
         "funnel": ev.funnel,  # ordered first-touch funnel
         "retention_cohorts": ev.retention_cohorts,  # weekly cohort retention
@@ -189,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "dedup_clusters": oracle.DEDUP_CLUSTERS,
         "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
+        "semantic_dedup": oracle.SEMANTIC_DEDUP,
+        "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
         "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,

@@ -89,13 +89,17 @@ CHAIN_CACHE_MAX_BYTES = int(
 )
 
 
-def _chain_cached(sf_dir: str, stage: str, make) -> Dataset:
+def _chain_cached(
+    sf_dir: str, stage: str, make, nbytes: int | None = None
+) -> Dataset:
     """Return ``make()`` materialized + memoized for this Ray session, or
-    the streaming (uncached) plan when the corpus is too big to pin."""
+    the streaming (uncached) plan when the corpus is too big to pin.
+    ``nbytes`` overrides the gate for stages whose input is NOT the
+    documents table (e.g. the embedding pair graph)."""
     from .core import _session_token
     from .text import documents_bytes
 
-    if documents_bytes(sf_dir) > CHAIN_CACHE_MAX_BYTES:
+    if (documents_bytes(sf_dir) if nbytes is None else nbytes) > CHAIN_CACHE_MAX_BYTES:
         return make()
     key = (sf_dir, stage, _session_token())
     ds = _CHAIN_CACHE.get(key)
@@ -799,46 +803,43 @@ def dedup_decision(sf_dir: str) -> Dataset:
     )
 
 
-def _dedup_decision_uncached(sf_dir: str) -> Dataset:
-    """Near-dup cluster assignment: hash-min connected components over the
-    exact-Jaccard pair graph, then the full dedup DECISION table
-    ``(doc_id, cluster_id, cluster_size, is_canonical)`` — cluster_id is
-    the component's min doc_id; the canonical doc is the one kept.
+def cc_labels(
+    pairs: Dataset, a_col: str, b_col: str, buckets: int
+) -> Dataset | None:
+    """Connected-component labels ``(node, lbl)`` of an undirected pair
+    graph, lbl = the component's min node id.  ``None`` when the graph has
+    no edges (every node is then its own singleton component).
 
-    Scale shape: the ITERATION runs only over nodes that appear in a pair
-    (rare by LSH construction), never over the corpus — each hash-min round
-    is two bucketed exchanges of (node, label) ints.  Hash-min converges in
-    O(component diameter) rounds (near-dup clusters are shallow; capped at
-    CC_MAX_ROUNDS), detected by the monotone label-sum fixpoint.  Singleton
-    documents join only at the END: one exchange over (doc_id) ints
-    coalesces missing labels to self, one more attaches per-cluster sizes.
-    The SQL oracle re-derives the same components with a recursive
-    transitive closure (oracle.DEDUP_CLUSTERS)."""
-    buckets = dyn_buckets(MERGE_BUCKETS)
-    pairs = _jaccard_pairs(sf_dir)
+    Scale shape (shared by text near-dup and embedding semantic dedup): the
+    iteration runs only over nodes that appear in a PAIR — never the corpus.
+    At or below CC_LOCAL_EDGES directed edges one vectorized numpy task
+    solves the whole graph; above it, hash-min label propagation runs as two
+    bucketed int exchanges per round, converging in O(component diameter)
+    rounds (capped at CC_MAX_ROUNDS, monotone label-sum fixpoint, raises on
+    non-convergence instead of emitting split clusters)."""
 
     def to_edges(t: pa.Table) -> pa.Table:
         n = t.num_rows
         fwd = pa.table(
             {
-                "node": t.column("doc_a"),
+                "node": t.column(a_col),
                 "lbl": pa.nulls(n, pa.int64()),
-                "dst": t.column("doc_b"),
+                "dst": t.column(b_col),
             },
             schema=_CC_SCHEMA,
         )
         rev = pa.table(
             {
-                "node": t.column("doc_b"),
+                "node": t.column(b_col),
                 "lbl": pa.nulls(n, pa.int64()),
-                "dst": t.column("doc_a"),
+                "dst": t.column(a_col),
             },
             schema=_CC_SCHEMA,
         )
         return pa.concat_tables([fwd, rev])
 
     # the pair graph is tiny relative to the corpus: materialize once so
-    # every CC round reuses it instead of re-running the LSH+verify chain
+    # every CC round reuses it instead of re-running the pair-gen chain
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
 
     labels = None
@@ -939,16 +940,31 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
             # >64-hop near-dup chains needs a pointer-jumping exchange (or a
             # higher cap), not a quiet approximation.
             raise RuntimeError(
-                f"dedup_decision: connected-components did not converge in "
+                f"cc_labels: connected-components did not converge in "
                 f"{CC_MAX_ROUNDS} rounds (component diameter exceeds the "
                 f"cap); refusing to emit split clusters"
             )
+    return labels
 
-    # decision table over ALL docs: coalesce missing labels to self …
-    docs = read_documents(sf_dir, ["doc_id"]).map_batches(
+
+def decision_from_labels(
+    ids: Dataset,
+    labels: Dataset | None,
+    id_col: str,
+    buckets: int,
+    use_exchange: bool,
+) -> Dataset:
+    """Full dedup DECISION table ``(id_col, cluster_id, cluster_size,
+    is_canonical)`` from the corpus id set plus the (sparse) CC labels —
+    cluster_id is the component's min id; the canonical row is the one kept.
+    Singleton ids join only HERE: one exchange over (id) ints coalesces
+    missing labels to self, one more attaches per-cluster sizes."""
+
+    # decision table over ALL ids: coalesce missing labels to self …
+    docs = ids.map_batches(
         lambda t: pa.table(
             {
-                "doc_id": t.column("doc_id"),
+                id_col: t.column(id_col),
                 "lbl": pa.nulls(t.num_rows, pa.int64()),
             }
         ),
@@ -958,28 +974,27 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
         docs = docs.union(
             labels.map_batches(
                 lambda t: pa.table(
-                    {"doc_id": t.column("node"), "lbl": t.column("lbl")}
+                    {id_col: t.column("node"), "lbl": t.column("lbl")}
                 ),
                 batch_format="pyarrow",
             )
         )
 
     def coalesce_self(group: pa.Table) -> pa.Table:
-        g = group.group_by(["doc_id"]).aggregate([("lbl", "min")])
+        g = group.group_by([id_col]).aggregate([("lbl", "min")])
         return pa.table(
             {
-                "doc_id": g.column("doc_id"),
+                id_col: g.column(id_col),
                 "cluster_id": pc.coalesce(
-                    g.column("lbl_min"), g.column("doc_id")
+                    g.column("lbl_min"), g.column(id_col)
                 ),
             }
         )
 
     from .agg import hash_bucket_apply
 
-    exchange = _use_exchange(sf_dir)
     assigned = hash_bucket_apply(
-        docs, ("doc_id",), coalesce_self, buckets, use_exchange=exchange
+        docs, (id_col,), coalesce_self, buckets, use_exchange=use_exchange
     )
 
     # … then co-locate each cluster to attach its size (second exchange)
@@ -993,17 +1008,34 @@ def _dedup_decision_uncached(sf_dir: str) -> Dataset:
         )
         return pa.table(
             {
-                "doc_id": group.column("doc_id"),
+                id_col: group.column(id_col),
                 "cluster_id": group.column("cluster_id"),
                 "cluster_size": size,
                 "is_canonical": pc.equal(
-                    group.column("doc_id"), group.column("cluster_id")
+                    group.column(id_col), group.column("cluster_id")
                 ),
             }
         )
 
     return hash_bucket_apply(
-        assigned, ("cluster_id",), attach_size, buckets, use_exchange=exchange
+        assigned, ("cluster_id",), attach_size, buckets, use_exchange=use_exchange
+    )
+
+
+def _dedup_decision_uncached(sf_dir: str) -> Dataset:
+    """Near-dup cluster assignment over the exact-Jaccard pair graph:
+    :func:`cc_labels` hash-min components (iteration bounded by the PAIR
+    graph, never the corpus) + :func:`decision_from_labels` over all doc
+    ids.  The SQL oracle re-derives the same components with a recursive
+    transitive closure (oracle.DEDUP_CLUSTERS)."""
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    labels = cc_labels(_jaccard_pairs(sf_dir), "doc_a", "doc_b", buckets)
+    return decision_from_labels(
+        read_documents(sf_dir, ["doc_id"]),
+        labels,
+        "doc_id",
+        buckets,
+        _use_exchange(sf_dir),
     )
 
 
@@ -1114,3 +1146,40 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pyarrow").sort(["cluster_id"])
+
+
+def dedup_cluster_sizes(sf_dir: str) -> Dataset:
+    """Cluster-size histogram of the dedup decision table — the rollup a
+    dedup run actually reports: how much of the corpus is duplicated, and at
+    what multiplicity (``cluster_size, n_clusters, n_docs``).
+
+    Scale shape: one vectorized filter to canonical rows (exactly one row
+    per cluster) feeding a bounded :func:`~.agg.grouped` histogram — the
+    output is ≤ distinct-multiplicity rows (tens), never corpus-sized, and
+    in a sweep the decision chain is session-memoized so this costs one tiny
+    aggregate.  Ref parity: the reference's report rollup tables
+    (AnalyzeCommand.java:343-395 summary printing) follow the same
+    histogram-of-a-decision shape."""
+    from .agg import GroupSpec, grouped
+
+    def canon(t: pa.Table) -> pa.Table:
+        return t.filter(t.column("is_canonical")).select(["cluster_size"])
+
+    hist = grouped(
+        dedup_decision(sf_dir).map_batches(canon, batch_format="pyarrow"),
+        GroupSpec(keys=("cluster_size",), count=True),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("cnt"), pa.int64())
+        return pa.table(
+            {
+                "cluster_size": t.column("cluster_size"),
+                "n_clusters": n,
+                "n_docs": pc.multiply(t.column("cluster_size"), n),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow").sort(
+        ["cluster_size"]
+    )

@@ -315,6 +315,26 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
     ``embedding_near_dups_lsh``, which prunes candidates with the
     multi-probe hyperplane buckets instead.
     """
+    return _emb_pairs(sf_dir, n_chunks).sort(["vec_a", "vec_b"])
+
+
+def _emb_pairs(sf_dir: str, n_chunks: int | None = None) -> Dataset:
+    """Unsorted exact near-dup pair dataset, session-memoized (chain-cache
+    policy, gated on the EMBEDDINGS corpus size) — shared by
+    ``embedding_near_dups`` and ``semantic_dedup`` so a sweep pays the
+    triangle join once."""
+    from .corpus import corpus_bytes
+    from .dedup import _chain_cached
+
+    return _chain_cached(
+        sf_dir,
+        "emb_pairs" if n_chunks is None else f"emb_pairs:{n_chunks}",
+        lambda: _emb_pairs_uncached(sf_dir, n_chunks),
+        nbytes=corpus_bytes(sf_dir, "embeddings"),
+    )
+
+
+def _emb_pairs_uncached(sf_dir: str, n_chunks: int | None) -> Dataset:
     B = n_chunks or max(2, -(-_emb_rows(sf_dir) // EMB_CHUNK))
 
     def emit(t: pa.Table) -> pa.Table:
@@ -379,7 +399,46 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
         read_embeddings(sf_dir).map_batches(emit, batch_format="pyarrow"),
         "_pair",
         compute,
-    ).sort(["vec_a", "vec_b"])
+    )
+
+
+def semantic_dedup(sf_dir: str) -> Dataset:
+    """SemDeDup-style semantic deduplication over the embeddings table:
+    connected components of the exact cosine near-dup pair graph
+    (``embedding_near_dups``, cos ≥ NEAR_DUP_COS), one canonical vector
+    (min vec_id) kept per cluster — ``(vec_id, cluster_id, cluster_size,
+    is_canonical)``, the same decision-table contract as the text-side
+    ``dedup.dedup_clusters``.
+
+    Scale shape: the pair graph comes from the bounded triangle join
+    (swap in ``embedding_near_dups_lsh``'s pruned candidates past ~10⁶
+    vectors); the CC iteration runs over PAIR nodes only
+    (:func:`~.dedup.cc_labels`) and the corpus-wide decision table is two
+    int-row exchanges (:func:`~.dedup.decision_from_labels`) — embeddings
+    themselves never move after pair generation.  The SQL oracle re-derives
+    the components with a recursive transitive closure over the identical
+    pair SQL (oracle.SEMANTIC_DEDUP).  Public-method parity: SemDeDup
+    (Abbas et al. 2023) — keep one representative per embedding-cosine
+    cluster."""
+    from .agg import EXCHANGE_GATE_MAX_BYTES, dyn_buckets
+    from .corpus import clean_read_schema, corpus_bytes
+    from .dedup import MERGE_BUCKETS, cc_labels, decision_from_labels
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    labels = cc_labels(_emb_pairs(sf_dir), "vec_a", "vec_b", buckets)
+    ids = ray.data.read_parquet(
+        embeddings_path(sf_dir),
+        columns=["vec_id"],
+        schema=clean_read_schema(sf_dir, "embeddings", ["vec_id"]),
+    )
+    return decision_from_labels(
+        ids,
+        labels,
+        "vec_id",
+        buckets,
+        use_exchange=corpus_bytes(sf_dir, "embeddings")
+        <= EXCHANGE_GATE_MAX_BYTES,
+    ).sort(["vec_id"])
 
 
 def embedding_near_dups_lsh(

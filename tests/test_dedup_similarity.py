@@ -410,3 +410,24 @@ def test_batch_shingles_hypothesis_random_texts():
             assert got.get(i, []) == _shingles(t)
 
     check()
+
+
+def test_semantic_dedup_decision_invariants():
+    """Every near-dup pair must land in ONE cluster labelled by its min
+    member; canonical rows are exactly the cluster ids; sizes add up to the
+    corpus."""
+    from oplog_analyzer_ray.pipelines.similarity import semantic_dedup
+
+    pairs = embedding_near_dups(SF_DIR).to_pandas()
+    dec = semantic_dedup(SF_DIR).to_pandas()
+    lbl = dict(zip(dec["vec_id"], dec["cluster_id"]))
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        assert lbl[a] == lbl[b]
+    by_cluster = dec.groupby("cluster_id")
+    assert (by_cluster["vec_id"].min() == by_cluster["vec_id"].max().index).all()
+    canon = dec[dec["is_canonical"]]
+    assert set(canon["vec_id"]) == set(dec["cluster_id"].unique())
+    assert canon["cluster_size"].sum() == len(dec)
+    sizes = by_cluster.size()
+    assert (dec["cluster_id"].map(sizes).to_numpy()
+            == dec["cluster_size"].to_numpy()).all()

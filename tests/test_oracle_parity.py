@@ -69,6 +69,8 @@ _TABLE_SQL = {
     "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
     "dedup_clusters": oracle.DEDUP_CLUSTERS,
     "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
+    "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
+    "semantic_dedup": oracle.SEMANTIC_DEDUP,
     "curated_corpus": oracle.CURATED_CORPUS,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
