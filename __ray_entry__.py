@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registered below the window is never oracle-checked. ---
         # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
         "semantic_dedup": similarity.semantic_dedup,
+        "knn_graph": similarity.knn_graph,  # all-vectors exact top-k (r5)
         "dedup_cluster_sizes": dedup.dedup_cluster_sizes,  # dedup rollup (r5)
         "dedup_keep_best": dedup.dedup_keep_best,  # only r4 query w/o a row
         "funnel": ev.funnel,  # ordered first-touch funnel
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.DEDUP_CLUSTERS,
         "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
         "semantic_dedup": oracle.SEMANTIC_DEDUP,
+        "knn_graph": oracle.KNN_GRAPH,
         "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
         "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,

@@ -264,12 +264,13 @@ def _pair_frame(va, vb, cs) -> pd.DataFrame:
     )
 
 
-def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn):
+def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn, empty_frame=None):
     """Shared exchange of the embedding pair kernels: co-locate replicated
     vectors by ``key`` and run the per-GROUP pandas kernel on each complete
     group — via the task-based hash exchange below the embeddings-size cap
     (each replaced Ray sort stage is ~2-3 s of machinery at bench scale),
-    the streamed sort path above it."""
+    the streamed sort path above it.  ``empty_frame``: zero-row output
+    template for empty buckets (defaults to the pair schema)."""
     from .agg import EXCHANGE_GATE_MAX_BYTES, dyn_buckets, hash_bucket_apply
     from .corpus import corpus_bytes
 
@@ -277,7 +278,9 @@ def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn):
         df = t.to_pandas()
         if not len(df):
             return pa.Table.from_pandas(
-                _pair_frame([], [], []), preserve_index=False
+                empty_frame if empty_frame is not None
+                else _pair_frame([], [], []),
+                preserve_index=False,
             ).replace_schema_metadata(None)
         out = pd.concat(
             [group_fn(g) for _, g in df.groupby(key, sort=False)],
@@ -334,8 +337,10 @@ def _emb_pairs(sf_dir: str, n_chunks: int | None = None) -> Dataset:
     )
 
 
-def _emb_pairs_uncached(sf_dir: str, n_chunks: int | None) -> Dataset:
-    B = n_chunks or max(2, -(-_emb_rows(sf_dir) // EMB_CHUNK))
+def _triangle_emit(B: int):
+    """Replicate each vector to the B unordered chunk-pair buckets its
+    (vec_id % B) chunk participates in — the fan-out side of the distributed
+    triangle join, shared by the near-dup pair kernel and the kNN graph."""
 
     def emit(t: pa.Table) -> pa.Table:
         vid = t.column("vec_id").to_numpy()
@@ -348,6 +353,13 @@ def _emb_pairs_uncached(sf_dir: str, n_chunks: int | None) -> Dataset:
             pa.array(np.repeat(np.arange(t.num_rows), B))
         )
         return rep.append_column("_pair", pa.array(key))
+
+    return emit
+
+
+def _emb_pairs_uncached(sf_dir: str, n_chunks: int | None) -> Dataset:
+    B = n_chunks or max(2, -(-_emb_rows(sf_dir) // EMB_CHUNK))
+    emit = _triangle_emit(B)
 
     def _strip_hits(rows: np.ndarray, cols: np.ndarray, lo_exclusive: bool):
         """Above-threshold (row, col, cos) triples of rows @ cols.T, computed
@@ -439,6 +451,139 @@ def semantic_dedup(sf_dir: str) -> Dataset:
         use_exchange=corpus_bytes(sf_dir, "embeddings")
         <= EXCHANGE_GATE_MAX_BYTES,
     ).sort(["vec_id"])
+
+
+K_GRAPH = 3  # neighbors per vector in the kNN graph
+
+
+def knn_graph(sf_dir: str, k: int = K_GRAPH, n_chunks: int | None = None) -> Dataset:
+    """Exact k-nearest-neighbor GRAPH over the embeddings table: for EVERY
+    vector, its top-k cosine neighbors (self excluded) —
+    ``(vec_id, neighbor_id, rank, cos)``, rank 1..k by (cos DESC,
+    neighbor_id ASC).  The all-vectors analogue of ``knn_bruteforce``'s
+    query-set search; the substrate for graph-based dedup/diversity
+    sampling and ANN index construction (NN-descent seeds).
+
+    EXACT via the same distributed triangle join as ``embedding_near_dups``:
+    one task per unordered chunk pair {i, j} computes the tiled cosine
+    block and keeps each row's LOCAL top-k against the opposite chunk —
+    global top-k ⊆ union of per-chunk top-k, so correctness needs no
+    threshold.  Candidate volume is n·B·k rows (ids + scores only, never
+    vectors), co-located per vec_id by one bucketed exchange where a
+    vectorized merge keeps the global top-k.  Compute is inherently O(n²·d)
+    (the exact price; an IVF/LSH-pruned variant follows the knn_lsh
+    pattern); per-task memory stays ~2·EMB_CHUNK vectors + one tile strip.
+    """
+    from .agg import EXCHANGE_GATE_MAX_BYTES, dyn_buckets, hash_bucket_apply
+    from .corpus import corpus_bytes
+
+    B = n_chunks or max(2, -(-_emb_rows(sf_dir) // EMB_CHUNK))
+
+    def _cand_frame(vid, nbr, cs) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(vid, np.int64),
+                "neighbor_id": np.asarray(nbr, np.int64),
+                "cos_raw": np.asarray(cs, np.float64),
+            }
+        )
+
+    def _local_topk(rows_m, row_ids, cols_m, col_ids, exclude_self):
+        """Per-row local top-k of rows_m @ cols_m.T, tiled like the pair
+        kernel so the dense strip stays EMB_TILE × |cols| float64."""
+        kk = min(k, len(col_ids) - (1 if exclude_self else 0))
+        if kk <= 0 or not len(row_ids):
+            return _cand_frame([], [], [])
+        out = []
+        for s in range(0, len(row_ids), EMB_TILE):
+            strip = rows_m[s : s + EMB_TILE] @ cols_m.T
+            if exclude_self:
+                # within-chunk block: mask the diagonal (ids are sorted the
+                # same on both axes, so self sits at matching positions)
+                r_ids = row_ids[s : s + strip.shape[0]]
+                self_col = np.searchsorted(col_ids, r_ids)
+                hit = col_ids[np.minimum(self_col, len(col_ids) - 1)] == r_ids
+                strip[np.flatnonzero(hit), self_col[hit]] = -np.inf
+            part = np.argpartition(-strip, kk - 1, axis=1)[:, :kk]
+            rr = np.repeat(np.arange(strip.shape[0]), kk)
+            out.append(
+                _cand_frame(
+                    row_ids[s + rr],
+                    col_ids[part.ravel()],
+                    strip[rr, part.ravel()],
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def compute(df: pd.DataFrame) -> pd.DataFrame:
+        key = int(df["_pair"].iloc[0])
+        i, j = divmod(key, B)
+        vid = df["vec_id"].to_numpy()
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if i == j:
+            order = np.argsort(vid)
+            vid, mn = vid[order], mn[order]
+            return _local_topk(mn, vid, mn, vid, exclude_self=True)
+        ma = (vid % B) == i
+        mb = ~ma
+        return pd.concat(
+            [
+                _local_topk(mn[ma], vid[ma], mn[mb], vid[mb], False),
+                _local_topk(mn[mb], vid[mb], mn[ma], vid[ma], False),
+            ],
+            ignore_index=True,
+        )
+
+    cands = _emb_bucket_apply(
+        sf_dir,
+        read_embeddings(sf_dir).map_batches(
+            _triangle_emit(B), batch_format="pyarrow"
+        ),
+        "_pair",
+        compute,
+        empty_frame=_cand_frame([], [], []),
+    )
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df = df.sort_values(
+            ["vec_id", "cos_raw", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("vec_id", sort=False).head(k)
+        rank = top.groupby("vec_id", sort=False).cumcount().to_numpy() + 1
+        return pa.table(
+            {
+                "vec_id": pa.array(top["vec_id"].to_numpy(), pa.int64()),
+                "neighbor_id": pa.array(
+                    top["neighbor_id"].to_numpy(), pa.int64()
+                ),
+                "rank": pa.array(rank, pa.int64()),
+                "cos": pa.array(
+                    np.floor(top["cos_raw"].to_numpy() * 1e6) / 1e6,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return hash_bucket_apply(
+        cands,
+        ("vec_id",),
+        merge_topk,
+        dyn_buckets(16),
+        use_exchange=corpus_bytes(sf_dir, "embeddings")
+        <= EXCHANGE_GATE_MAX_BYTES,
+        empty=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("neighbor_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("cos", pa.float64()),
+            ]
+        ).empty_table(),
+    ).sort(["vec_id", "rank"])
 
 
 def embedding_near_dups_lsh(

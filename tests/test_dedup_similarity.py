@@ -431,3 +431,15 @@ def test_semantic_dedup_decision_invariants():
     sizes = by_cluster.size()
     assert (dec["cluster_id"].map(sizes).to_numpy()
             == dec["cluster_size"].to_numpy()).all()
+
+
+def test_knn_graph_chunk_invariant():
+    """The kNN-graph triangle join must produce identical (vec_id, rank)
+    tables for any chunk count — partitioning is an execution detail."""
+    from oplog_analyzer_ray.pipelines.similarity import knn_graph
+
+    a = knn_graph(SF_DIR, n_chunks=2).to_pandas()
+    b = knn_graph(SF_DIR, n_chunks=5).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

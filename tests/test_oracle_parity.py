@@ -71,6 +71,7 @@ _TABLE_SQL = {
     "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
     "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
     "semantic_dedup": oracle.SEMANTIC_DEDUP,
+    "knn_graph": oracle.KNN_GRAPH,
     "curated_corpus": oracle.CURATED_CORPUS,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
