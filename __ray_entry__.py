@@ -49,6 +49,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
         "semantic_dedup": similarity.semantic_dedup,
         "knn_graph": similarity.knn_graph,  # all-vectors exact top-k (r5)
+        # data mixing: equal per-source token budgets, greedy quality keep
+        "source_budget_allocation": text.source_budget_allocation,
+        # QA: near-dup clusters spanning train/val/test splits
+        "split_leakage_report": curate.split_leakage_report,
         "dedup_cluster_sizes": dedup.dedup_cluster_sizes,  # dedup rollup (r5)
         "dedup_keep_best": dedup.dedup_keep_best,  # only r4 query w/o a row
         "funnel": ev.funnel,  # ordered first-touch funnel
@@ -195,6 +199,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
         "semantic_dedup": oracle.SEMANTIC_DEDUP,
         "knn_graph": oracle.KNN_GRAPH,
+        "source_budget_allocation": oracle.SOURCE_BUDGET_ALLOCATION,
+        "split_leakage_report": oracle.SPLIT_LEAKAGE_REPORT,
         "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
         "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,

@@ -182,9 +182,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             extra["token_rarity"] = text.token_rarity
             extra["pack_sequences"] = text.pack_sequences
             extra["quality_budget_selection"] = text.quality_budget_selection
+            extra["source_budget_allocation"] = text.source_budget_allocation
+            extra["split_leakage_report"] = curate.split_leakage_report
         extra["conv_profiles"] = core.conv_profiles
         if os.path.exists(corpus_path(sf_dir, "embeddings")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce
+            extra["semantic_dedup"] = similarity.semantic_dedup
+            extra["knn_graph"] = similarity.knn_graph
         if os.path.exists(corpus_path(sf_dir, "events")):
             extra["sessionization"] = evmod.sessionization
         for qname, fn in extra.items():

@@ -137,3 +137,182 @@ def curated_corpus(sf_dir: str) -> Dataset:
         buckets,
         use_exchange=_use_exchange(sf_dir),
     ).sort(["doc_id"])
+
+
+def split_leakage_report(sf_dir: str) -> Dataset:
+    """Cross-split near-dup leakage QA — ``(split, n_docs, n_tokens,
+    leaked_docs)``: per train/val/test split, its document/token volume and
+    how many of its documents sit in a near-dup cluster that SPANS more
+    than one split.  This is the contamination a hash-of-id split cannot
+    prevent (near-identical texts carry different ids, so they draw
+    independent split hashes) and the check a training-data pipeline runs
+    before shipping a split.
+
+    Scale shape: reuses the session-memoized dedup decision table and
+    quality int table (NO new text pass); one doc_id-bucketed int join
+    attaches (split_code, n_tokens) to cluster ids, one cluster_id-bucketed
+    exchange derives the per-cluster span (leaked ⇔ min code < max code),
+    and a ≤3-row grouped() histogram finishes.  The SQL oracle re-derives
+    the clusters (recursive closure), the salted split gate and the span
+    window in one statement (oracle.SPLIT_LEAKAGE_REPORT)."""
+    import hashlib
+
+    import numpy as np
+
+    from .agg import (
+        EXCHANGE_GATE_MAX_BYTES,
+        GroupSpec,
+        grouped,
+        hash_bucket_apply,
+    )
+    from .dedup import _index_in_strict
+    from .text import (
+        SPLIT_SALT,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        documents_bytes,
+        quality_int_table,
+    )
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    use_ex = documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES
+
+    def dec_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        import numpy as _np
+
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": t.column("cluster_id"),
+                "code": pa.array(_np.full(n, -1, dtype=_np.int64)),
+                "n_tokens": pa.array(_np.full(n, -1, dtype=_np.int64)),
+                "_side": pa.array(_np.zeros(n, dtype=_np.int8)),
+            }
+        )
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # same salted gate as text.train_val_split (md5 is inherently
+        # per-value; the repo-wide convention)
+        h = np.fromiter(
+            (
+                int(
+                    hashlib.md5(
+                        (SPLIT_SALT + str(int(d))).encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % 1000
+                for d in doc
+            ),
+            np.int64,
+            len(doc),
+        )
+        code = np.select(
+            [h < SPLIT_TRAIN_LT, h < SPLIT_VAL_LT], [0, 1], 2
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.array(np.full(len(doc), -1, dtype=np.int64)),
+                "code": pa.array(code),
+                "n_tokens": t.column("n_tokens"),
+                "_side": pa.array(np.ones(len(doc), dtype=np.int8)),
+            }
+        )
+
+    side_a = dedup_decision(sf_dir).map_batches(
+        dec_rows, batch_format="pyarrow"
+    )
+    side_b = quality_int_table(sf_dir).map_batches(
+        tok_rows, batch_format="pyarrow"
+    )
+
+    def join(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group.column("_side"), 0)
+        a = group.filter(is_a)
+        b = group.filter(pc.invert(is_a))
+        idx = _index_in_strict(
+            a.column("doc_id"), b.column("doc_id"), "split_leakage.join"
+        )
+        return pa.table(
+            {
+                "cluster_id": a.column("cluster_id"),
+                "code": pc.take(b.column("code"), idx),
+                "n_tokens": pc.take(b.column("n_tokens"), idx),
+            }
+        )
+
+    joined = hash_bucket_apply(
+        side_a.union(side_b),
+        ("doc_id",),
+        join,
+        buckets,
+        use_exchange=use_ex,
+        empty=pa.schema(
+            [
+                ("cluster_id", pa.int64()),
+                ("code", pa.int64()),
+                ("n_tokens", pa.int64()),
+            ]
+        ).empty_table(),
+    )
+
+    def span(group: pa.Table) -> pa.Table:
+        g = group.group_by(["cluster_id"]).aggregate(
+            [("code", "min"), ("code", "max")]
+        )
+        idx = pc.index_in(
+            group.column("cluster_id"), value_set=g.column("cluster_id")
+        )
+        leaked = pc.less(
+            pc.take(g.column("code_min"), idx),
+            pc.take(g.column("code_max"), idx),
+        )
+        return pa.table(
+            {
+                "code": group.column("code"),
+                "n_tokens": group.column("n_tokens"),
+                "leaked": pc.cast(leaked, pa.int64()),
+            }
+        )
+
+    spanned = hash_bucket_apply(
+        joined,
+        ("cluster_id",),
+        span,
+        buckets,
+        use_exchange=use_ex,
+        empty=pa.schema(
+            [
+                ("code", pa.int64()),
+                ("n_tokens", pa.int64()),
+                ("leaked", pa.int64()),
+            ]
+        ).empty_table(),
+    )
+
+    hist = grouped(
+        spanned,
+        GroupSpec(
+            keys=("code",), count=True, sum_cols=("n_tokens", "leaked")
+        ),
+    )
+
+    _NAMES = {0: "train", 1: "val", 2: "test"}
+
+    def finish(t: pa.Table) -> pa.Table:
+        code = t.column("code").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "split": pa.array(
+                    [_NAMES[int(c)] for c in code], pa.string()
+                ),
+                "n_docs": pc.cast(t.column("cnt"), pa.int64()),
+                "n_tokens": pc.cast(t.column("sum_n_tokens"), pa.int64()),
+                "leaked_docs": pc.cast(t.column("sum_leaked"), pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow").sort(["split"])

@@ -911,7 +911,7 @@ SELECT_BUDGET_PERMILLE = 250  # keep the best 25% of corpus tokens
 
 
 def quality_int_table(sf_dir: str) -> Dataset:
-    """Session-memoized ``(doc_id, q_int, n_tokens)`` int table — q_int is
+    """Session-memoized ``(doc_id, source, q_int, n_tokens)`` table — q_int is
     the 6dp-truncated quality in micro-units every quality gate compares
     on, n_tokens the single-space token count.  Shared by
     :func:`quality_budget_selection` and ``dedup.dedup_keep_best`` so a
@@ -921,20 +921,34 @@ def quality_int_table(sf_dir: str) -> Dataset:
     byte gate, stream above it)."""
     from .dedup import _chain_cached
 
+    import pyarrow.parquet as pq
+
+    from .corpus import corpus_files
+
+    # corpora without a source column (minimal fixtures) degrade to one
+    # implicit source — source_budget_allocation then equals the global
+    # budget selection, and nothing else reads the column
+    has_src = (
+        "source"
+        in pq.read_schema(corpus_files(sf_dir, "documents")[0]).names
+    )
+
     def qi(df: pd.DataFrame) -> pd.DataFrame:
         q = quality_components(df)["quality"]
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
+                "source": df["source"] if has_src else "",
                 "q_int": np.floor(q * 1e6).astype("int64"),
                 "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
             }
         )
 
+    cols = ["doc_id", "text"] + (["source"] if has_src else [])
     return _chain_cached(
         sf_dir,
         "quality_int",
-        lambda: read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda: read_documents(sf_dir, cols).map_batches(
             qi, batch_format="pandas"
         ),
     )
@@ -1009,7 +1023,11 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
     )
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["q_int"].isin(keep_q)]
+        # narrow to the scan's columns — the memoized table also carries
+        # `source` (for source_budget_allocation), which this exchange
+        # doesn't need to ship
+        return df.loc[df["q_int"].isin(keep_q),
+                      ["doc_id", "q_int", "n_tokens"]]
 
     def scan(t: pa.Table) -> pa.Table:
         """All levels of one hash bucket, vectorized: within-level exclusive
@@ -1040,6 +1058,120 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
         ("q_int",),
         scan,
         use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
+    ).sort(["doc_id"])
+
+
+def source_budget_allocation(sf_dir: str) -> Dataset:
+    """Data-mixing selection: split the global token budget EQUALLY across
+    sources, then within each source keep documents in (quality DESC,
+    doc_id ASC) order while the exclusive running token total stays under
+    the per-source budget — ``(doc_id, source, q_int, n_tokens,
+    cum_excl)``.  Equal per-source budgets rebalance the mixture (small
+    sources keep proportionally more), the standard first lever when a few
+    web-scale sources would otherwise dominate the kept set; any other
+    budget vector w_i plugs into the same mechanism (the split is one
+    driver-side division).
+
+    Same 100 TB shape as :func:`quality_budget_selection`, keyed one level
+    deeper: the histogram is (source, q_int) — bounded by sources × 1e6
+    quality levels, a catalog-sized table, never the corpus — the driver
+    derives per-source budgets + per-(source, q_int) base offsets, and docs
+    at contributing levels exchange ONCE keyed on (source, q_int) for the
+    within-level prefix scan.  Oracle: per-source SQL window over the same
+    integer math (oracle.SOURCE_BUDGET_ALLOCATION)."""
+    import pyarrow as pa
+
+    from .agg import (
+        EXCHANGE_GATE_MAX_BYTES,
+        GroupSpec,
+        grouped,
+        hash_bucket_apply,
+    )
+
+    tbl = quality_int_table(sf_dir)  # session-memoized int rows (has source)
+
+    hist = (
+        grouped(
+            tbl,
+            GroupSpec(
+                keys=("source", "q_int"), count=False, sum_cols=("n_tokens",)
+            ),
+        )
+        .to_pandas()  # bounded: sources × ≤1e6 q_int levels
+        .sort_values(["source", "q_int"], ascending=[True, False])
+    )
+    total = int(hist["sum_n_tokens"].sum())
+    n_sources = hist["source"].nunique()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "q_int": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_excl": pa.array([], pa.int64()),
+        }
+    )
+    if n_sources == 0:
+        return empty
+    budget = (total * SELECT_BUDGET_PERMILLE // 1000) // n_sources
+    if budget == 0:
+        return empty
+    # per-source exclusive prefix over quality levels (tokens ranked
+    # strictly above each level WITHIN its source); broadcast as a flat
+    # int-coded map so the per-batch lookups stay vectorized — level code =
+    # source_ordinal · 2^20 + q_int (q_int ≤ 1e6 < 2^20 by construction)
+    cum_in_src = (
+        hist.groupby("source", sort=False)["sum_n_tokens"].cumsum().to_numpy()
+        - hist["sum_n_tokens"].to_numpy()
+    )
+    src_ord = {s: i for i, s in enumerate(hist["source"].unique())}
+    hist_code = (
+        hist["source"].map(src_ord).to_numpy(np.int64) * (1 << 20)
+        + hist["q_int"].to_numpy()
+    )
+    base = pd.Series(cum_in_src.astype(np.int64), index=hist_code)
+    keep_codes = base.index.to_numpy()[base.to_numpy() < budget]
+
+    def _codes(df: pd.DataFrame) -> np.ndarray:
+        return (
+            df["source"].map(src_ord).to_numpy(np.int64) * (1 << 20)
+            + df["q_int"].to_numpy()
+        )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        mask = np.isin(_codes(df), keep_codes)
+        return df.loc[mask, ["doc_id", "source", "q_int", "n_tokens"]]
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return empty
+        df = df.sort_values(["source", "q_int", "doc_id"], kind="mergesort")
+        nt = df["n_tokens"].to_numpy()
+        cum_in = (
+            df.groupby(["source", "q_int"], sort=False)["n_tokens"]
+            .cumsum()
+            .to_numpy()
+            - nt
+        )
+        cum_excl = base.loc[_codes(df)].to_numpy() + cum_in
+        m = cum_excl < budget
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy()[m], pa.int64()),
+                "source": pa.array(df["source"].to_numpy()[m], pa.string()),
+                "q_int": pa.array(df["q_int"].to_numpy()[m], pa.int64()),
+                "n_tokens": pa.array(nt[m], pa.int64()),
+                "cum_excl": pa.array(cum_excl[m], pa.int64()),
+            }
+        )
+
+    return hash_bucket_apply(
+        tbl.map_batches(prune, batch_format="pandas"),
+        ("source", "q_int"),
+        scan,
+        use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
+        empty=empty,
     ).sort(["doc_id"])
 
 

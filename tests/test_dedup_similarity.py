@@ -443,3 +443,47 @@ def test_knn_graph_chunk_invariant():
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_split_leakage_report_detects_cross_split_cluster(tmp_path):
+    """Docs 0 and 2 share identical text (one near-dup cluster) but their
+    salted split hashes land in train and test — the report must count one
+    leaked doc on each side; singleton docs must not leak.
+
+    (doc_id → split under SPLIT_SALT: 0,1 → train, 3 → val, 2 → test.)"""
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.curate import split_leakage_report
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = {
+        0: dup,
+        1: "totally different words about databases and sharding today",
+        2: dup,
+        3: "yet another unrelated document with its own vocabulary here",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), pa.int64()),
+                "lang": pa.array(["en"] * len(docs)),
+                "text": pa.array(list(docs.values()), pa.string()),
+                "source": pa.array(["t"] * len(docs)),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = (
+        split_leakage_report(str(tmp_path))
+        .to_pandas()
+        .set_index("split")
+    )
+    assert got.loc["train", "n_docs"] == 2
+    assert got.loc["train", "leaked_docs"] == 1
+    assert got.loc["test", "n_docs"] == 1
+    assert got.loc["test", "leaked_docs"] == 1
+    assert got.loc["val", "n_docs"] == 1
+    assert got.loc["val", "leaked_docs"] == 0
+    assert got.loc["train", "n_tokens"] == len(dup.split()) + len(
+        docs[1].split()
+    )

@@ -72,6 +72,8 @@ _TABLE_SQL = {
     "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
     "semantic_dedup": oracle.SEMANTIC_DEDUP,
     "knn_graph": oracle.KNN_GRAPH,
+    "source_budget_allocation": oracle.SOURCE_BUDGET_ALLOCATION,
+    "split_leakage_report": oracle.SPLIT_LEAKAGE_REPORT,
     "curated_corpus": oracle.CURATED_CORPUS,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,

@@ -140,3 +140,81 @@ def test_quality_budget_selection_hypothesis(tmp_path_factory):
         assert kept_ranked == sorted(kept_ranked, reverse=True)
 
     check()
+
+
+def test_source_budget_allocation_hypothesis(tmp_path_factory):
+    from oplog_analyzer_ray.pipelines.text import (
+        SELECT_BUDGET_PERMILLE,
+        quality_components,
+        source_budget_allocation,
+    )
+
+    corpus_src = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            _text,
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=16,
+        unique_by=lambda dts: dts[0],
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus_src)
+    def check(docs):
+        tmpdir = tmp_path_factory.mktemp("srcbudget")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _, _ in docs], pa.int64()),
+                    "lang": pa.array(["en"] * len(docs)),
+                    "text": pa.array([t for _, t, _ in docs], pa.string()),
+                    "source": pa.array([s for _, _, s in docs], pa.string()),
+                }
+            ),
+            f"{tmpdir}/documents.parquet",
+        )
+        res = source_budget_allocation(str(tmpdir))
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+
+        # independent reference: per-source greedy (q DESC, doc_id ASC)
+        # keep while the EXCLUSIVE prefix stays under the per-source budget
+        df = pd.DataFrame(
+            {
+                "doc_id": [d for d, _, _ in docs],
+                "text": [t for _, t, _ in docs],
+                "source": [s for _, _, s in docs],
+            }
+        )
+        df["q_int"] = np.floor(
+            quality_components(df)["quality"].to_numpy() * 1e6
+        ).astype("int64")
+        df["n_tokens"] = (df["text"].str.count(" ") + 1).astype("int64")
+        total = int(df["n_tokens"].sum())
+        budget = (total * SELECT_BUDGET_PERMILLE // 1000) // df[
+            "source"
+        ].nunique()
+        ref = df.sort_values(
+            ["source", "q_int", "doc_id"], ascending=[True, False, True]
+        )
+        ref["cum_excl"] = (
+            ref.groupby("source")["n_tokens"].cumsum() - ref["n_tokens"]
+        )
+        ref = (
+            ref[ref["cum_excl"] < budget][
+                ["doc_id", "source", "q_int", "n_tokens", "cum_excl"]
+            ]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True).astype({"cum_excl": "int64"}),
+            ref.astype({"cum_excl": "int64"}),
+        )
+
+    check()
