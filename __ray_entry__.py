@@ -49,10 +49,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
         "semantic_dedup": similarity.semantic_dedup,
         "knn_graph": similarity.knn_graph,  # all-vectors exact top-k (r5)
+        # scale-path semantic dedup: CC over the LSH-pruned pair graph
+        "semantic_dedup_lsh": similarity.semantic_dedup_lsh,
         # data mixing: equal per-source token budgets, greedy quality keep
         "source_budget_allocation": text.source_budget_allocation,
         # QA: near-dup clusters spanning train/val/test splits
         "split_leakage_report": curate.split_leakage_report,
+        "doc_length_percentiles": text.doc_length_percentiles,  # corpus shape
+        "ann_recall_report": similarity.ann_recall_report,  # index QA (r5)
         "dedup_cluster_sizes": dedup.dedup_cluster_sizes,  # dedup rollup (r5)
         "dedup_keep_best": dedup.dedup_keep_best,  # only r4 query w/o a row
         "funnel": ev.funnel,  # ordered first-touch funnel
@@ -201,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": oracle.KNN_GRAPH,
         "source_budget_allocation": oracle.SOURCE_BUDGET_ALLOCATION,
         "split_leakage_report": oracle.SPLIT_LEAKAGE_REPORT,
+        "doc_length_percentiles": oracle.DOC_LENGTH_PERCENTILES,
         "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,
         "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
@@ -214,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups_lsh": oracle.embedding_near_dups_lsh_sql(
             _ORACLE_SF_DIR
         ),
+        "semantic_dedup_lsh": oracle.semantic_dedup_lsh_sql(_ORACLE_SF_DIR),
+        "ann_recall_report": oracle.ann_recall_sql(_ORACLE_SF_DIR),
         "sessionization": oracle.SESSIONIZATION,
         "funnel": oracle.FUNNEL,
         "retention_cohorts": oracle.RETENTION_COHORTS,

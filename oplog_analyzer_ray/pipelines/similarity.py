@@ -663,6 +663,44 @@ def embedding_near_dups_lsh(
     return g.map_batches(post, batch_format="pyarrow").sort(["vec_a", "vec_b"])
 
 
+def semantic_dedup_lsh(sf_dir: str, emit_radius: int = 2) -> Dataset:
+    """Scale-path semantic dedup: the SAME decision-table contract as
+    :func:`semantic_dedup` — ``(vec_id, cluster_id, cluster_size,
+    is_canonical)`` — but with the pair graph from the multi-probe
+    hyperplane buckets (:func:`embedding_near_dups_lsh`) instead of the
+    exact O(n²) triangle join; the variant to run past ~10⁶ vectors.
+    Missed pairs can only SPLIT a cluster (never merge two), so the
+    decision degrades conservatively — more survivors, never a dropped
+    unique document.  EXACT SQL oracle despite the approximation: the
+    hamming-filtered pair set is re-derived with the seeded planes as SQL
+    literals, then the same recursive closure
+    (oracle.semantic_dedup_lsh_sql)."""
+    from .agg import EXCHANGE_GATE_MAX_BYTES, dyn_buckets
+    from .corpus import clean_read_schema, corpus_bytes
+    from .dedup import MERGE_BUCKETS, cc_labels, decision_from_labels
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    labels = cc_labels(
+        embedding_near_dups_lsh(sf_dir, emit_radius),
+        "vec_a",
+        "vec_b",
+        buckets,
+    )
+    ids = ray.data.read_parquet(
+        embeddings_path(sf_dir),
+        columns=["vec_id"],
+        schema=clean_read_schema(sf_dir, "embeddings", ["vec_id"]),
+    )
+    return decision_from_labels(
+        ids,
+        labels,
+        "vec_id",
+        buckets,
+        use_exchange=corpus_bytes(sf_dir, "embeddings")
+        <= EXCHANGE_GATE_MAX_BYTES,
+    ).sort(["vec_id"])
+
+
 IVF_CENTROIDS = 16
 IVF_PROBE = 4
 IVF_SAMPLE = 1024
@@ -752,4 +790,59 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
 
     return _knn_finish(
         read_embeddings(sf_dir).map_batches(local_topk, batch_format="pandas")
+    )
+
+
+def ann_recall_report(sf_dir: str) -> Dataset:
+    """Index-quality evaluation — per query, the recall@k of the two ANN
+    paths against the exact brute-force top-k: ``(query_id, recall_lsh,
+    recall_ivf)``.  The report an ANN rollout gates on before swapping the
+    exact search out.
+
+    All three inputs are bounded by contract (N_QUERIES × TOP_K rows), so
+    the compare coalesces to ONE dataset-plane task (same shape as
+    ``_knn_finish``) — nothing driver-side, nothing corpus-sized.  The SQL
+    oracle re-derives all three searches (the ANN ones with their index
+    artifacts as literals) and the intersection counts in one statement
+    (oracle.ann_recall_sql)."""
+
+    def tag(m: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.select(["query_id", "neighbor_id"]).append_column(
+                "_m", pa.array(np.full(t.num_rows, m, dtype=np.int8))
+            )
+
+        return fn
+
+    u = (
+        knn_bruteforce(sf_dir)
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(knn_lsh(sf_dir).map_batches(tag(1), batch_format="pyarrow"))
+        .union(knn_ivf(sf_dir).map_batches(tag(2), batch_format="pyarrow"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[df["_m"] == 0][["query_id", "neighbor_id"]]
+        qs = np.sort(b["query_id"].unique())
+
+        def hits(m: int) -> pd.Series:
+            a = df[df["_m"] == m][["query_id", "neighbor_id"]]
+            inter = b.merge(a, on=["query_id", "neighbor_id"])
+            return (
+                inter.groupby("query_id")
+                .size()
+                .reindex(qs, fill_value=0)
+                .astype("int64")
+            )
+
+        return pd.DataFrame(
+            {
+                "query_id": qs,
+                "recall_lsh": hits(1).to_numpy() / float(TOP_K),
+                "recall_ivf": hits(2).to_numpy() / float(TOP_K),
+            }
+        )
+
+    return u.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
     )

@@ -1308,3 +1308,49 @@ def tfidf_topk(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     ).sort(["doc_id", "token"])
+
+
+DOC_LEN_PCTS = (50, 90, 99)
+
+
+def doc_length_percentiles(sf_dir: str) -> Dataset:
+    """Per-source token-length percentiles (p50/p90/p99) — the corpus-shape
+    report a mixing/packing decision reads, EXACT via the same mergeable
+    counting-histogram shape as ``core.size_percentiles``: blocks collapse
+    to (source, n_tokens) → count partials, the shuffle moves sources ×
+    distinct-lengths rows (bounded by the VALUE RANGE, never the corpus),
+    and one tiny per-source task reads the percentiles off the cumulative
+    counts.  Reuses the session-memoized :func:`quality_int_table` — in a
+    sweep this costs no new text pass.  Percentile convention (integer math
+    both engines): p = the smallest length whose cumulative count satisfies
+    ``cum · 100 ≥ n · p``."""
+    import pyarrow as pa
+
+    from .agg import GroupSpec, grouped
+
+    pre = quality_int_table(sf_dir).map_batches(
+        lambda t: t.select(["source", "n_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    g = grouped(pre, GroupSpec(keys=("source", "n_tokens")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_tokens")
+        cum = df["cnt"].to_numpy().cumsum()
+        ln = df["n_tokens"].to_numpy()
+        n = int(cum[-1])
+        out = {
+            "source": [df["source"].iloc[0]],
+            "n_docs": np.array([n], np.int64),
+        }
+        for p in DOC_LEN_PCTS:
+            idx = int(np.searchsorted(cum * 100, n * p, side="left"))
+            out[f"p{p}"] = np.array([ln[idx]], np.int64)
+        return pd.DataFrame(out)
+
+    return (
+        g.groupby("source")
+        .map_groups(finish, batch_format="pandas")
+        .sort(["source"])
+    )

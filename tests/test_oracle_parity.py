@@ -74,6 +74,7 @@ _TABLE_SQL = {
     "knn_graph": oracle.KNN_GRAPH,
     "source_budget_allocation": oracle.SOURCE_BUDGET_ALLOCATION,
     "split_leakage_report": oracle.SPLIT_LEAKAGE_REPORT,
+    "doc_length_percentiles": oracle.DOC_LENGTH_PERCENTILES,
     "curated_corpus": oracle.CURATED_CORPUS,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
@@ -100,6 +101,8 @@ _SF_SQL = {
     "knn_lsh": oracle.knn_lsh_sql,
     "knn_ivf": oracle.knn_ivf_sql,
     "embedding_near_dups_lsh": oracle.embedding_near_dups_lsh_sql,
+    "semantic_dedup_lsh": oracle.semantic_dedup_lsh_sql,
+    "ann_recall_report": oracle.ann_recall_sql,
 }
 
 
