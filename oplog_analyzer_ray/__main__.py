@@ -234,6 +234,37 @@ def cmd_curate(args) -> None:
     )
 
 
+def cmd_qa(args) -> None:
+    """Training-data QA report: split leakage (near-dup clusters spanning
+    train/val/test), the dedup cluster-size histogram, and — when the
+    corpus ships embeddings — the ANN recall@k report.  One JSON object on
+    stdout; every section is a bounded report table (the heavy chains are
+    session-memoized, so the three sections share one dedup derivation)."""
+    import json
+
+    from .pipelines.corpus import corpus_path
+    from .pipelines.curate import split_leakage_report
+    from .pipelines.dedup import dedup_cluster_sizes
+
+    out = {
+        "split_leakage": split_leakage_report(args.sf_dir)
+        .to_pandas()
+        .to_dict(orient="records"),
+        "dedup_cluster_sizes": dedup_cluster_sizes(args.sf_dir)
+        .to_pandas()
+        .to_dict(orient="records"),
+    }
+    import os
+
+    if os.path.exists(corpus_path(args.sf_dir, "embeddings")):
+        from .pipelines.similarity import ann_recall_report
+
+        out["ann_recall"] = (
+            ann_recall_report(args.sf_dir).to_pandas().to_dict(orient="records")
+        )
+    print(json.dumps(out))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="oplog_analyzer_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -290,6 +321,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--conversations", action="store_true",
                    help="also write the agentic conversation keep-list")
     p.set_defaults(fn=cmd_curate)
+
+    p = sub.add_parser("qa")
+    p.add_argument("--sf-dir", required=True)
+    p.set_defaults(fn=cmd_qa)
 
     args = ap.parse_args(argv)
     _init_ray(args.num_cpus)

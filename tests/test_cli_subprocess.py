@@ -49,3 +49,16 @@ def test_cli_curate_subprocess(tmp_path):
         f"SELECT count(*) FROM read_parquet('{out}/documents_keep/*.parquet')"
     ).fetchone()[0]
     assert n == stats["documents_kept"]
+
+
+def test_cli_qa_subprocess():
+    r = _run(["-m", "oplog_analyzer_ray", "--num-cpus", "4", "qa",
+              "--sf-dir", "/root/testdata/sf0.001"], timeout=300)
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    d = json.loads(lines[0])
+    assert {"split_leakage", "dedup_cluster_sizes", "ann_recall"} <= set(d)
+    assert sum(row["n_docs"] for row in d["split_leakage"]) == 500
+    assert all(0.0 <= row["recall_lsh"] <= 1.0 for row in d["ann_recall"])
+    assert sum(r_["n_docs"] for r_ in d["dedup_cluster_sizes"]) == 500
