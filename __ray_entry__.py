@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        # SimHash pairing: banded hamming-≤3 pairs, exact by pigeonhole (r5)
+        "simhash_near_dups": dedup.simhash_near_dups,
         # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
         "semantic_dedup": similarity.semantic_dedup,
         "knn_graph": similarity.knn_graph,  # all-vectors exact top-k (r5)
@@ -197,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oracle.EXACT_DEDUP,
         "minhash_signatures": oracle.MINHASH_SIGNATURES,
         "simhash64": oracle.SIMHASH64,
+        "simhash_near_dups": oracle.SIMHASH_NEAR_DUPS,
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
         "dedup_clusters": oracle.DEDUP_CLUSTERS,

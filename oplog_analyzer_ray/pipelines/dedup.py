@@ -740,6 +740,154 @@ def simhash64(sf_dir: str) -> Dataset:
     )
 
 
+# --------------------------------------------------------- simhash near-dups
+# Hamming threshold + banding: the 64-bit signature splits into 4 disjoint
+# 16-bit chunks.  Pigeonhole: hamming(a, b) <= 3 < 4 chunks means a and b
+# agree EXACTLY on at least one chunk, so grouping by (band, chunk value)
+# surfaces every qualifying pair; the per-pair exact hamming check then
+# removes the false positives.  Recall is therefore 1.0 by construction —
+# this is the standard SimHash dedup index (Manku et al., WWW'07 shape),
+# not an approximation.
+SIMHASH_HAMMING_K = 3
+SIMHASH_BANDS = 4
+SIMHASH_PAIR_CHUNK = 4096  # block edge for within-group triangle emission
+
+# 16-bit popcount LUT (64 KiB, built once per process at import)
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+_SIMHASH_PAIRS_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via the 16-bit LUT."""
+    w = np.ascontiguousarray(x).view(np.uint16).reshape(-1, 4)
+    return _POP16[w].sum(axis=1).astype(np.int64)
+
+
+def _simhash_ds(sf_dir: str) -> Dataset:
+    """Session-memoized signature table (shared with the ``simhash64``
+    query surface by construction — same plan, cached once per sweep)."""
+    return _chain_cached(sf_dir, "simhash", lambda: simhash64(sf_dir))
+
+
+def _simhash_band_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """4 rows per doc: (band_key = band<<16 | chunk, doc_id, simhash).
+    The signature rides along so the pair stage never joins back."""
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "band_key": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "simhash": pd.Series([], dtype="int64"),
+            }
+        )
+    u = df["simhash"].to_numpy().view(np.uint64)
+    shifts = (np.uint64(16) * np.arange(SIMHASH_BANDS, dtype=np.uint64))
+    chunks = (u[:, None] >> shifts[None, :]) & np.uint64(0xFFFF)
+    key = (
+        np.arange(SIMHASH_BANDS, dtype=np.uint64)[None, :] << np.uint64(16)
+    ) | chunks
+    return pd.DataFrame(
+        {
+            "band_key": np.ascontiguousarray(key.reshape(-1)).view(np.int64),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), SIMHASH_BANDS),
+            "simhash": np.repeat(df["simhash"].to_numpy(), SIMHASH_BANDS),
+        }
+    )
+
+
+def _simhash_pairs_group(t: pa.Table) -> pa.Table:
+    """Qualifying pairs within one bucket of band rows.  Groups by band_key
+    inside the task, then emits each group's triangle in
+    ``SIMHASH_PAIR_CHUNK``-edged blocks, so no allocation exceeds
+    ``SIMHASH_PAIR_CHUNK**2`` rows even when a degenerate corpus puts every
+    doc under one chunk value (same bounded-emission discipline as
+    ``_band_work_items``).  Off-diagonal blocks skip the a<b mask: doc_ids
+    are sorted ascending and unique within a group."""
+    if t.num_rows == 0:
+        return _SIMHASH_PAIRS_SCHEMA.empty_table()
+    key = t.column("band_key").to_numpy(zero_copy_only=False)
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[order]
+    sims = np.ascontiguousarray(
+        t.column("simhash").to_numpy(zero_copy_only=False)[order]
+    ).view(np.uint64)
+    bounds = np.r_[np.flatnonzero(np.r_[True, key[1:] != key[:-1]]), key.size]
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    C = SIMHASH_PAIR_CHUNK
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g = int(e - s)
+        if g < 2:
+            continue
+        o = np.argsort(ids[s:e], kind="stable")
+        gi, gs = ids[s:e][o], sims[s:e][o]
+        for i0 in range(0, g, C):
+            ia, sa = gi[i0 : i0 + C], gs[i0 : i0 + C]
+            for j0 in range(i0, g, C):
+                ib, sb = gi[j0 : j0 + C], gs[j0 : j0 + C]
+                a = np.repeat(ia, ib.size)
+                b = np.tile(ib, ia.size)
+                x = np.repeat(sa, ib.size) ^ np.tile(sb, ia.size)
+                if j0 == i0:
+                    m = a < b
+                    a, b, x = a[m], b[m], x[m]
+                h = _popcount64(x)
+                keep = h <= SIMHASH_HAMMING_K
+                if keep.any():
+                    out_a.append(a[keep])
+                    out_b.append(b[keep])
+                    out_h.append(h[keep])
+    if not out_a:
+        return _SIMHASH_PAIRS_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "doc_a": np.concatenate(out_a),
+            "doc_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        },
+        schema=_SIMHASH_PAIRS_SCHEMA,
+    )
+
+
+def simhash_near_dups(sf_dir: str) -> Dataset:
+    """SimHash near-duplicate pairs: every unordered doc pair whose 64-bit
+    signatures differ in at most ``SIMHASH_HAMMING_K`` bits —
+    ``(doc_a, doc_b, hamming)``, the third dedup *pairing* path next to
+    MinHash-LSH→Jaccard and embedding-cosine.
+
+    Distributed shape: the exchange carries (int64 band_key, doc_id,
+    simhash) rows only — 24 bytes × 4 per doc, never text; pair emission is
+    block-bounded per task; a pair found by several bands collapses in the
+    standard ``grouped()`` partial-merge.  The SQL oracle
+    (``oracle.SIMHASH_NEAR_DUPS``) re-derives the same pairs with
+    ``bit_count(xor(...))`` over the exact SIMHASH64 CTE — banding is
+    invisible in the result by the pigeonhole argument above."""
+    from .agg import hash_bucket_apply
+
+    bands = _simhash_ds(sf_dir).map_batches(
+        _simhash_band_rows, batch_format="pandas"
+    )
+    pairs = hash_bucket_apply(
+        bands,
+        ("band_key",),
+        _simhash_pairs_group,
+        dyn_buckets(MERGE_BUCKETS),
+        use_exchange=_use_exchange(sf_dir),
+        empty=_SIMHASH_PAIRS_SCHEMA.empty_table(),
+    )
+    g = grouped(pairs, GroupSpec(keys=("doc_a", "doc_b", "hamming")))
+    return g.map_batches(
+        lambda t: t.select(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
+    ).sort(["doc_a", "doc_b"])
+
+
 # ----------------------------------------------------- near-dup clustering
 # Connected components over the verified near-dup pair graph: the decision
 # step a real dedup pipeline runs after pair generation — pick ONE canonical

@@ -487,3 +487,43 @@ def test_split_leakage_report_detects_cross_split_cluster(tmp_path):
     assert got.loc["train", "n_tokens"] == len(dup.split()) + len(
         docs[1].split()
     )
+
+
+def test_simhash_pairs_banding_matches_bruteforce(monkeypatch):
+    """The 4×16-bit banded index must find EXACTLY the brute-force
+    hamming ≤ K pair set (pigeonhole recall 1.0, verify kills false
+    positives), and the block-paired emission must hold under a tiny
+    chunk edge (every block-pair path exercised, incl. a hot group)."""
+    from oplog_analyzer_ray.pipelines import dedup as dd
+
+    monkeypatch.setattr(dd, "SIMHASH_PAIR_CHUNK", 7)
+    rng = np.random.default_rng(11)
+    n = 400
+    base = rng.integers(0, 1 << 63, size=40, dtype=np.int64)
+    sims = base[rng.integers(0, len(base), n)]
+    # flip 0-6 random bits per doc so hamming clusters around the threshold
+    for i in range(n):
+        for bit in rng.integers(0, 64, size=int(rng.integers(0, 7))):
+            sims[i] = np.int64(
+                np.uint64(sims[i]) ^ (np.uint64(1) << np.uint64(bit))
+            )
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "simhash": sims})
+    bands = dd._simhash_band_rows(df)
+    got_tbl = dd._simhash_pairs_group(pa.Table.from_pandas(bands))
+    got = {
+        (a, b, h)
+        for a, b, h in zip(
+            got_tbl["doc_a"].to_pylist(),
+            got_tbl["doc_b"].to_pylist(),
+            got_tbl["hamming"].to_pylist(),
+        )
+    }  # cross-band duplicates collapse in the set, like grouped() does
+    u = sims.view(np.uint64)
+    want = set()
+    for a in range(n):
+        x = u[a] ^ u[a + 1 :]
+        hs = np.array([bin(int(v)).count("1") for v in x])
+        for off in np.flatnonzero(hs <= dd.SIMHASH_HAMMING_K):
+            want.add((a, a + 1 + int(off), int(hs[off])))
+    assert want  # the fixture must actually produce qualifying pairs
+    assert got == want

@@ -65,6 +65,7 @@ _TABLE_SQL = {
     "exact_dedup": oracle.EXACT_DEDUP,
     "minhash_signatures": oracle.MINHASH_SIGNATURES,
     "simhash64": oracle.SIMHASH64,
+    "simhash_near_dups": oracle.SIMHASH_NEAR_DUPS,
     "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
     "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
     "dedup_clusters": oracle.DEDUP_CLUSTERS,
