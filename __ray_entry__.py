@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # registered below the window is never oracle-checked. ---
         # SimHash pairing: banded hamming-≤3 pairs, exact by pigeonhole (r5)
         "simhash_near_dups": dedup.simhash_near_dups,
+        # chrome/boilerplate load per doc (bounded-broadcast hot 3-grams)
+        "boilerplate_ngrams": text.boilerplate_ngrams,
+        # prototypicality: cosine to own-label centroid (SemDeDup signal)
+        "embedding_outlier_scores": similarity.embedding_outlier_scores,
         # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
         "semantic_dedup": similarity.semantic_dedup,
         "knn_graph": similarity.knn_graph,  # all-vectors exact top-k (r5)
@@ -191,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": oracle.TOKEN_RARITY,
         "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
         "ngram_topk": oracle.NGRAM_TOPK,
+        "boilerplate_ngrams": oracle.BOILERPLATE_NGRAMS,
         "stratified_sample": oracle.STRATIFIED_SAMPLE,
         "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
         "quality_scores": oracle.QUALITY_SCORES,
@@ -213,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": oracle.CURATED_CORPUS,
         "knn_bruteforce": oracle.KNN_BRUTEFORCE,
         "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
+        "embedding_outlier_scores": oracle.EMBEDDING_OUTLIER_SCORES,
         # round-3: the ANN index artifacts (seeded hyperplanes / deterministic
         # k-means centroids) are embedded as SQL literals so the *search* —
         # bucketing, multi-probe, top-k — is exactly re-derived in DuckDB;

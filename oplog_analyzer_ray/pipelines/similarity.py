@@ -846,3 +846,73 @@ def ann_recall_report(sf_dir: str) -> Dataset:
     return u.repartition(1).map_batches(
         finish, batch_format="pandas", batch_size=None
     )
+
+
+# ------------------------------------------------------------ outlier scores
+def embedding_outlier_scores(sf_dir: str) -> Dataset:
+    """Prototypicality per vector: cosine similarity to its LABEL centroid
+    — ``(vec_id, label, cos_centroid)``.  The SemDeDup/SSL-prototypes
+    pruning signal: vectors far from their cluster centroid are either
+    valuable diversity or noise, and selection pipelines cut on exactly
+    this score.
+
+    Scale shape: phase 1 reduces per-block ``(label, dim, Σcomponent,
+    count)`` partials through the standard ``grouped()`` merge — the
+    exchange moves blocks × labels × dim small rows, never the matrix; the
+    driver materializes ONLY the centroid table (labels × dim — class-count
+    bounded, corpus-size independent), closes over it, and phase 2 is one
+    streamed vectorized scoring pass.  Scores floor-truncate at 6dp, the
+    embedding-family parity convention (oracle.EMBEDDING_OUTLIER_SCORES
+    re-derives centroid and cosine in SQL)."""
+    from .agg import GroupSpec, grouped
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        labs, inv = np.unique(lab, return_inverse=True)
+        k, d = labs.size, m.shape[1]
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(k))
+        sums = np.add.reduceat(m[order], bounds, axis=0)
+        cnts = np.bincount(inv, minlength=k).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": np.repeat(labs.astype(np.int64), d),
+                "dim": np.tile(np.arange(d, dtype=np.int64), k),
+                "s": sums.reshape(-1),
+                "cnt": np.repeat(cnts, d),
+            }
+        )
+
+    cent = (
+        grouped(
+            read_embeddings(sf_dir).map_batches(
+                partial, batch_format="pandas"
+            ),
+            GroupSpec(keys=("label", "dim"), count=False, sum_cols=("s", "cnt")),
+        )
+        .to_pandas()  # labels × dim rows — class-count bounded
+        .sort_values(["label", "dim"])
+    )
+    labs = cent["label"].unique()
+    k = labs.size
+    d = int(cent["dim"].max()) + 1
+    C = cent["sum_s"].to_numpy().reshape(k, d) / cent["sum_cnt"].to_numpy().reshape(k, d)
+    cnorm = np.linalg.norm(C, axis=1)
+    lab_row = {int(l): i for i, l in enumerate(labs)}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rows = df["label"].map(lab_row).to_numpy()
+        cos = (m * C[rows]).sum(axis=1) / (
+            np.linalg.norm(m, axis=1) * cnorm[rows]
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"],
+                "label": df["label"].astype("int64"),
+                "cos_centroid": np.floor(cos * 1e6) / 1e6,
+            }
+        )
+
+    return read_embeddings(sf_dir).map_batches(score, batch_format="pandas")

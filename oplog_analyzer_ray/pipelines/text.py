@@ -1354,3 +1354,111 @@ def doc_length_percentiles(sf_dir: str) -> Dataset:
         .map_groups(finish, batch_format="pandas")
         .sort(["source"])
     )
+
+
+# ------------------------------------------------------------- boilerplate
+# Boilerplate detection (CCNet/RefinedWeb-style chrome filter adapted to
+# the space-tokenized corpus): a word 3-gram is "boilerplate" when MORE
+# THAN max(4, n_docs // 100) distinct documents contain it — headers,
+# footers, license blocks, navigation chrome repeat across >1% of a crawl
+# while organic prose does not.  Broadcast-side pricing (the reason this
+# holds at 100 TB): Σ df over all shingles = total distinct (doc, shingle)
+# pairs, so #shingles with df > F is ≤ that total / (F+1); with
+# F ∝ n_docs the head is ≤ BOILER_DF_DIVISOR × avg distinct shingles per
+# doc — CORPUS-SIZE-INDEPENDENT, unlike a raw vocabulary broadcast.
+BOILER_DF_DIVISOR = 100
+BOILER_DF_MIN = 4
+
+_BOILER_CACHE: dict[str, frozenset] = {}
+
+
+def _boiler_df_floor(sf_dir: str) -> int:
+    from .corpus import corpus_rows
+
+    return max(BOILER_DF_MIN, corpus_rows(sf_dir, "documents") // BOILER_DF_DIVISOR)
+
+
+def _shingle_df(sf_dir: str) -> Dataset:
+    """(g, sum_df): corpus document-frequency per distinct word 3-gram.
+    Per-block partial counts distinct (doc, shingle) pairs — exact, since
+    a document never spans blocks — then the standard grouped() merge;
+    the exchange moves one row per distinct shingle per block, never the
+    token stream."""
+    from .agg import GroupSpec, grouped
+    from .dedup import _batch_shingles
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows, sh = _batch_shingles(df["text"])
+        vc = (
+            pd.DataFrame({"r": rows, "g": sh})
+            .drop_duplicates()["g"]
+            .value_counts()
+        )
+        return pd.DataFrame(
+            {"g": vc.index.astype(str), "df": vc.to_numpy(dtype=np.int64)}
+        )
+
+    return grouped(
+        read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(keys=("g",), count=False, sum_cols=("df",)),
+    )
+
+
+def boilerplate_ngrams(sf_dir: str) -> Dataset:
+    """Per-document boilerplate load: ``(doc_id, n_shingles, n_boiler,
+    boiler_permille)`` where ``n_boiler`` counts the document's 3-gram
+    OCCURRENCES whose corpus document-frequency exceeds the floor and
+    ``boiler_permille = n_boiler * 1000 // n_shingles`` (all-integer, so
+    parity is bit-exact; docs shorter than 3 tokens contribute their whole
+    text as the single shingle — same convention as the dedup family).
+
+    Two-phase scale shape (same as token_rarity, but with the provably
+    bounded broadcast documented at BOILER_DF_DIVISOR): phase 1 aggregates
+    shingle DF (shingle-vocabulary-sized exchange of int partials), prunes
+    to the > floor head AT THE DATASET PLANE, broadcasts that bounded set
+    once (``ray.put`` + per-worker cache); phase 2 streams documents
+    through one vectorized membership pass.  Oracle:
+    oracle.BOILERPLATE_NGRAMS re-derives floor, DF and the left join in
+    SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .dedup import _batch_shingles
+
+    floor = _boiler_df_floor(sf_dir)
+    vd = _shingle_df(sf_dir)
+
+    def above(t: pa.Table) -> pa.Table:
+        return t.select(["g"]).filter(pc.greater(t.column("sum_df"), floor))
+
+    hot_tbl = pa.concat_tables(
+        ray.get(vd.map_batches(above, batch_format="pyarrow").to_arrow_refs())
+    )
+    hot_ref = ray.put(frozenset(hot_tbl.column("g").to_pylist()))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = hot_ref.hex()
+        hot = _BOILER_CACHE.get(key)
+        if hot is None:
+            _BOILER_CACHE.clear()  # at most one hot set per worker
+            hot = ray.get(hot_ref)
+            _BOILER_CACHE[key] = hot
+        n = len(df)
+        rows, sh = _batch_shingles(df["text"])
+        n_occ = np.bincount(rows, minlength=n).astype(np.int64)
+        boil = pd.Series(sh).isin(hot).to_numpy()
+        n_boil = np.bincount(rows[boil], minlength=n).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_shingles": n_occ,
+                "n_boiler": n_boil,
+                "boiler_permille": n_boil * 1000 // n_occ,
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )

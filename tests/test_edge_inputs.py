@@ -753,3 +753,45 @@ def test_bounded_vocab_prunes_at_floor(tmp_path):
     # cc/dd (=1) are pruned and clamp to the floor on lookup miss
     assert _bounded_vocab(vd, 2) == {"aa": 4}
     assert _bounded_vocab(vd, 1) == {"aa": 4, "bb": 2}
+
+
+def test_boilerplate_tiny_corpus_parity(tmp_path, duck):
+    """Boilerplate fraction on a corpus where a fixed 3-gram chrome block
+    repeats across most docs, plus a short (<3-token) doc and an empty doc
+    (both count their whole text as the single shingle) — floor resolves to
+    BOILER_DF_MIN since n_docs // BOILER_DF_DIVISOR is 0 here."""
+    from oplog_analyzer_ray import oracle
+    from oplog_analyzer_ray.pipelines.text import boilerplate_ngrams
+    from .util import assert_frames_match
+
+    chrome = "copyright acme corp all rights reserved"
+    texts = [f"{chrome} doc{i} unique words here {i}" for i in range(6)] + [
+        "short one",
+        "",
+        "totally organic prose with no repeats at all",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    duck.execute(
+        "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    got = boilerplate_ngrams(str(tmp_path)).to_pandas().sort_values("doc_id")
+    want = duck.execute(oracle.BOILERPLATE_NGRAMS).fetchdf()
+    assert_frames_match(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        "boilerplate_ngrams",
+    )
+    # the chrome block's interior 3-grams (df=6 > 4) must be flagged in
+    # every chrome doc, and the organic/short/empty docs must score 0
+    by_id = got.set_index("doc_id")
+    assert (by_id.loc[range(6), "n_boiler"] > 0).all()
+    assert (by_id.loc[[6, 7, 8], "n_boiler"] == 0).all()
+    assert (by_id.loc[[6, 7], "n_shingles"] == 1).all()  # whole-text shingle

@@ -57,6 +57,7 @@ _TABLE_SQL = {
     "token_rarity": oracle.TOKEN_RARITY,
     "token_counts_bpe": oracle.TOKEN_COUNTS_BPE,
     "ngram_topk": oracle.NGRAM_TOPK,
+    "boilerplate_ngrams": oracle.BOILERPLATE_NGRAMS,
     "stratified_sample": oracle.STRATIFIED_SAMPLE,
     "rolling_fingerprints": oracle.ROLLING_FINGERPRINTS,
     "quality_scores": oracle.QUALITY_SCORES,
@@ -79,6 +80,7 @@ _TABLE_SQL = {
     "curated_corpus": oracle.CURATED_CORPUS,
     "knn_bruteforce": oracle.KNN_BRUTEFORCE,
     "embedding_near_dups": oracle.EMBEDDING_NEAR_DUPS,
+    "embedding_outlier_scores": oracle.EMBEDDING_OUTLIER_SCORES,
     "sessionization": oracle.SESSIONIZATION,
     "funnel": oracle.FUNNEL,
     "retention_cohorts": oracle.RETENTION_COHORTS,
