@@ -85,7 +85,18 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     # spill) must stay visible.
     class _DropEmptyBlockWarning(logging.Filter):
         def filter(self, record: logging.LogRecord) -> bool:
-            return "has no blocks" not in record.getMessage()
+            m = record.getMessage()
+            if "has no blocks" in m:
+                return False
+            # a fully time/row-filtered parquet fragment yields a bundle
+            # with NO schema ("new schema: .") — internal to ReadParquet,
+            # benign; bundles with a DIFFERENT non-empty schema stay
+            # visible (those are real UDF bugs)
+            if "produced a RefBundle with a different schema" in m and (
+                "new schema: . This may lead" in m
+            ):
+                return False
+            return True
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"

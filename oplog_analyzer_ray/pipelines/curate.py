@@ -30,6 +30,7 @@ the join in one statement; parity is pinned at sf0.001 (pytest) and sf0.01
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -82,26 +83,33 @@ def curated_corpus(sf_dir: str) -> Dataset:
 
     # side B: quality + strata + decontamination + repetition survivors
     # from ONE documents pass
-    def qual_strata(df: pd.DataFrame) -> pd.DataFrame:
+    def qual_strata(df: pd.DataFrame) -> pa.Table:
         quality = _trunc6(quality_components(df)["quality"])
         _, in_strata = strata_gate(df)
         clean = (df["doc_id"] >= DECON_EVAL_DOCS) & (
             eval_gram_hits(df, resolve_eval_grams(grams_ref)) == 0
         )
         low_rep = _trunc6(dup_2gram_fraction(df)) <= MAX_DUP_2GRAM
-        keep = (quality >= MIN_QUALITY) & in_strata & clean & low_rep
-        out = pd.DataFrame(
+        keep = (
+            (quality >= MIN_QUALITY) & in_strata & clean & low_rep
+        ).to_numpy()
+        n = int(keep.sum())
+        # arrow out with EXACTLY canon()'s schema: a pandas frame here
+        # (nullable Int64 cluster_size) makes the union's blocks disagree
+        # and the streaming executor warn on every bundle boundary
+        return pa.table(
             {
-                "doc_id": df["doc_id"][keep],
-                "cluster_size": pd.Series(
-                    pd.NA, index=df.index, dtype="Int64"
-                )[keep],
-                "lang": df["lang"][keep],
-                "quality": quality[keep],
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy()[keep], pa.int64()
+                ),
+                "cluster_size": pa.nulls(n, pa.int64()),
+                "lang": pa.array(df["lang"].to_numpy()[keep], pa.string()),
+                "quality": pa.array(
+                    quality.to_numpy()[keep], pa.float64()
+                ),
+                "_side": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
-        out["_side"] = pd.Series(1, index=out.index, dtype="int8")
-        return out
 
     side_b = read_documents(sf_dir, ["doc_id", "lang", "text"]).map_batches(
         qual_strata, batch_format="pandas"
