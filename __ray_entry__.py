@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": text.boilerplate_ngrams,
         # prototypicality: cosine to own-label centroid (SemDeDup signal)
         "embedding_outlier_scores": similarity.embedding_outlier_scores,
+        "daily_active_users": ev.daily_active_users,  # exact per-group distinct
+        "props_value_stats": ev.props_value_stats,  # JSON field extraction
+
         # SemDeDup: CC over the exact embedding-cosine pair graph (new r5)
         "semantic_dedup": similarity.semantic_dedup,
         "knn_graph": similarity.knn_graph,  # all-vectors exact top-k (r5)
@@ -237,6 +240,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users_by_type": oracle.APPROX_DISTINCT_USERS_BY_TYPE,
         "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
         "tumbling_window": oracle.TUMBLING_WINDOW,
+        "daily_active_users": oracle.DAILY_ACTIVE_USERS,
+        "props_value_stats": oracle.PROPS_VALUE_STATS,
         "sliding_window": oracle.SLIDING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,
         "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,

@@ -625,3 +625,88 @@ def approx_distinct_users_by_type(sf_dir: str) -> Dataset:
         .map_groups(finish, batch_format="pandas")
         .sort("event_type")
     )
+
+
+def daily_active_users(sf_dir: str) -> Dataset:
+    """Exact DAU: ``(day, dau, n_events)`` — the per-group COUNT(DISTINCT)
+    primitive the windowed family lacks (``approx_distinct_users`` is the
+    sketched counterpart; this is the exact path).
+
+    Two-level grouped shape that holds at scale: level 1 collapses to one
+    row per DISTINCT (day, user_id) via the standard partial merge — the
+    exchange moves (day, user, cnt) int rows, bounded by users × days,
+    never raw events; level 2 then counts rows (= distinct users) and sums
+    the carried event counts per day.  Level-2 partials are exact because
+    level 1's merge already guarantees global (day, user) uniqueness."""
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "user_id": t.column("user_id"),
+            }
+        )
+
+    per_user = grouped(
+        read_events(sf_dir, ["ts", "user_id"]).map_batches(
+            add_day, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("day", "user_id")),
+    )
+    g = grouped(
+        per_user, GroupSpec(keys=("day",), count=True, sum_cols=("cnt",))
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "dau": t.column("cnt"),
+                "n_events": t.column("sum_cnt"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["day"])
+
+
+def props_value_stats(sf_dir: str) -> Dataset:
+    """Semi-structured extraction: pull the integer ``k`` out of the JSON
+    ``props`` column and aggregate per event_type — ``(event_type, cnt,
+    sum_k, min_k, max_k)``.  The extraction is one vectorized
+    ``pc.extract_regex`` kernel per batch (no per-row JSON parse; rows
+    whose props carry no integer ``k`` drop out, mirroring SQL's NULL
+    semantics), then the standard grouped partial merge."""
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        ok = pc.is_valid(m)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table(
+            {
+                "event_type": pc.filter(t.column("event_type"), ok),
+                "k": pc.filter(k, ok),
+            }
+        )
+
+    g = grouped(
+        read_events(sf_dir, ["event_type", "props"]).map_batches(
+            extract, batch_format="pyarrow"
+        ),
+        GroupSpec(
+            keys=("event_type",),
+            sum_cols=("k",),
+            min_cols=("k",),
+            max_cols=("k",),
+        ),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cnt": t.column("cnt"),
+                "sum_k": t.column("sum_k"),
+                "min_k": t.column("min_k"),
+                "max_k": t.column("max_k"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["event_type"])

@@ -88,6 +88,8 @@ _TABLE_SQL = {
     "approx_distinct_users_by_type": oracle.APPROX_DISTINCT_USERS_BY_TYPE,
     "purchase_attribution": oracle.PURCHASE_ATTRIBUTION,
     "tumbling_window": oracle.TUMBLING_WINDOW,
+    "daily_active_users": oracle.DAILY_ACTIVE_USERS,
+    "props_value_stats": oracle.PROPS_VALUE_STATS,
     "sliding_window": oracle.SLIDING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
     "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
