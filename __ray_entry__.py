@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "event_type_cooccurrence": ev.event_type_cooccurrence,  # basket pairs
+        "daily_anomalies": ev.daily_anomalies,  # per-type volume z-scores
+        "top_docs_per_source": text.top_docs_per_source,  # window-rank top-k
+        "label_centroid_similarity": similarity.label_centroid_similarity,
         # SimHash pairing: banded hamming-≤3 pairs, exact by pigeonhole (r5)
         "simhash_near_dups": dedup.simhash_near_dups,
         # chrome/boilerplate load per doc (bounded-broadcast hot 3-grams)
@@ -242,6 +246,10 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_window": oracle.TUMBLING_WINDOW,
         "daily_active_users": oracle.DAILY_ACTIVE_USERS,
         "props_value_stats": oracle.PROPS_VALUE_STATS,
+        "event_type_cooccurrence": oracle.EVENT_TYPE_COOCCURRENCE,
+        "daily_anomalies": oracle.DAILY_ANOMALIES,
+        "top_docs_per_source": oracle.TOP_DOCS_PER_SOURCE,
+        "label_centroid_similarity": oracle.LABEL_CENTROID_SIMILARITY,
         "sliding_window": oracle.SLIDING_WINDOW,
         "media_features": oracle.MEDIA_FEATURES,
         "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,

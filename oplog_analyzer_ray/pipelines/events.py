@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -710,3 +711,143 @@ def props_value_stats(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pyarrow").sort(["event_type"])
+
+
+# ------------------------------------------------- co-occurrence / anomalies
+_COOC_SCHEMA = pa.schema(
+    [("type_a", pa.string()), ("type_b", pa.string()), ("n_users", pa.int64())]
+)
+
+
+def _cooc_group(t: pa.Table) -> pa.Table:
+    """Partial pair counts within one user-hash bucket: the rows are one
+    user's DISTINCT event types (upstream grouped() guarantees global
+    (user, type) uniqueness), so an equi-self-merge on user_id + the
+    ``type_a < type_b`` mask emits each unordered pair exactly once.  The
+    merge is a C-level pandas hash join — no per-user Python loop; its
+    output is bounded by users_in_bucket × K², K = distinct event types
+    (single digits for any real log schema)."""
+    if t.num_rows == 0:
+        return _COOC_SCHEMA.empty_table()
+    df = pd.DataFrame(
+        {
+            "user_id": t.column("user_id").to_pandas(),
+            "et": t.column("event_type").to_pandas(),
+        }
+    )
+    m = df.merge(df, on="user_id")
+    m = m[m["et_x"] < m["et_y"]]
+    if not len(m):
+        return _COOC_SCHEMA.empty_table()
+    vc = (
+        m.groupby(["et_x", "et_y"], sort=False).size().reset_index(name="n")
+    )
+    return pa.table(
+        {
+            "type_a": pa.array(vc["et_x"], type=pa.string()),
+            "type_b": pa.array(vc["et_y"], type=pa.string()),
+            "n_users": pa.array(vc["n"].to_numpy().astype("int64")),
+        },
+        schema=_COOC_SCHEMA,
+    )
+
+
+def event_type_cooccurrence(sf_dir: str) -> Dataset:
+    """Market-basket co-occurrence: for every unordered pair of event types,
+    how many users emitted BOTH — ``(type_a, type_b, n_users)``.  The
+    segment-overlap primitive behind "users who click also purchase".
+
+    Scale shape: level 1 collapses raw events to DISTINCT (user_id,
+    event_type) through the standard partial merge (exchange bounded at
+    users × K rows, K = distinct types — never raw events); the user-hash
+    bucket stage then self-joins each user's type set locally and emits
+    per-bucket pair COUNTS, so the final grouped() merge sees buckets × K²
+    tiny int rows.  Oracle: ``oracle.EVENT_TYPE_COOCCURRENCE`` (DISTINCT
+    self-join)."""
+    from .agg import hash_bucket_apply
+    from .corpus import corpus_bytes
+
+    distinct = grouped(
+        read_events(sf_dir, ["user_id", "event_type"]),
+        GroupSpec(keys=("user_id", "event_type")),
+    )
+    pairs = hash_bucket_apply(
+        distinct,
+        ("user_id",),
+        _cooc_group,
+        session_buckets(sf_dir),
+        use_exchange=corpus_bytes(sf_dir, "events") <= EVENTS_EXCHANGE_MAX_BYTES,
+        empty=_COOC_SCHEMA.empty_table(),
+    )
+    g = grouped(
+        pairs,
+        GroupSpec(keys=("type_a", "type_b"), count=False, sum_cols=("n_users",)),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "type_a": t.column("type_a"),
+                "type_b": t.column("type_b"),
+                "n_users": t.column("sum_n_users"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["type_a", "type_b"])
+
+
+def daily_anomalies(sf_dir: str) -> Dataset:
+    """Volume-anomaly z-scores: per (event_type, day), the day's event count
+    and its z-score against THAT type's daily distribution — ``(event_type,
+    day, cnt, z)``; types with <2 days or zero variance drop out (SQL NULL
+    semantics).  The ops-alerting rollup a log pipeline runs to surface
+    traffic spikes/drops.
+
+    Float parity is by identical IEEE expression tree on both engines:
+    z = (cnt - s/n) / sqrt((ss - s*s/n) / (n - 1)) evaluated in float64
+    from the exact integer day-count sums (s, ss, n), then 6dp-truncated
+    — mirrored verbatim in ``oracle.DAILY_ANOMALIES``.  (ss stays exact in
+    a double while per-(type,day) counts < 2^26 — far past any daily log
+    volume this rollup targets; the grouped() int64 sums overflow first.)
+
+    Scale shape: the only corpus-sized work is the grouped() partial merge
+    down to (type, day) rows; the z finish runs per type over its day rows
+    (bounded by the corpus timespan, not its volume)."""
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+            }
+        )
+
+    per_day = grouped(
+        read_events(sf_dir, ["event_type", "ts"]).map_batches(
+            add_day, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("event_type", "day")),
+    )
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        cnt = df["cnt"].to_numpy().astype(np.float64)
+        n = np.float64(len(df))
+        s = cnt.sum()
+        ss = (cnt * cnt).sum()
+        var_num = ss - s * s / n
+        out = df[["event_type", "day", "cnt"]].copy()
+        if len(df) < 2 or var_num <= 0:
+            out = out.iloc[0:0]
+            out["z"] = pd.Series([], dtype="float64")
+        else:
+            z = (cnt - s / n) / np.sqrt(var_num / (n - 1.0))
+            out["z"] = np.floor(z * 1e6) / 1e6
+        # arrow out + no pandas schema metadata (unhashable-schema warning)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        per_day.groupby("event_type")
+        .map_groups(fin, batch_format="pandas")
+        .sort(["event_type", "day"])
+    )

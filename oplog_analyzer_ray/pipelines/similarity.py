@@ -849,21 +849,15 @@ def ann_recall_report(sf_dir: str) -> Dataset:
 
 
 # ------------------------------------------------------------ outlier scores
-def embedding_outlier_scores(sf_dir: str) -> Dataset:
-    """Prototypicality per vector: cosine similarity to its LABEL centroid
-    — ``(vec_id, label, cos_centroid)``.  The SemDeDup/SSL-prototypes
-    pruning signal: vectors far from their cluster centroid are either
-    valuable diversity or noise, and selection pipelines cut on exactly
-    this score.
-
-    Scale shape: phase 1 reduces per-block ``(label, dim, Σcomponent,
-    count)`` partials through the standard ``grouped()`` merge — the
-    exchange moves blocks × labels × dim small rows, never the matrix; the
-    driver materializes ONLY the centroid table (labels × dim — class-count
-    bounded, corpus-size independent), closes over it, and phase 2 is one
-    streamed vectorized scoring pass.  Scores floor-truncate at 6dp, the
-    embedding-family parity convention (oracle.EMBEDDING_OUTLIER_SCORES
-    re-derives centroid and cosine in SQL)."""
+def _label_centroids(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-label mean vectors as ``(labels, C)`` — labels sorted ascending,
+    C of shape (labels, dim) in float64.  Phase 1 reduces per-block
+    ``(label, dim, Σcomponent, count)`` partials through the standard
+    ``grouped()`` merge — the exchange moves blocks × labels × dim small
+    rows, never the matrix; only the labels × dim centroid table (class-
+    count bounded, corpus-size independent) ever reaches the driver.
+    Shared by :func:`embedding_outlier_scores` and
+    :func:`label_centroid_similarity`."""
     from .agg import GroupSpec, grouped
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -898,6 +892,56 @@ def embedding_outlier_scores(sf_dir: str) -> Dataset:
     k = labs.size
     d = int(cent["dim"].max()) + 1
     C = cent["sum_s"].to_numpy().reshape(k, d) / cent["sum_cnt"].to_numpy().reshape(k, d)
+    return labs, C
+
+
+def label_centroid_similarity(sf_dir: str) -> Dataset:
+    """Class-geometry QA: cosine similarity between every pair of LABEL
+    centroids — ``(label_a, label_b, cos)``, label_a < label_b.  High
+    centroid cosine means two labels are near-indistinguishable in the
+    embedding space (merge candidates / labeling noise); the k² map a
+    curation review reads before trusting per-label selection.
+
+    The corpus-sized work is :func:`_label_centroids`' partial-sum merge;
+    the pairwise finish is labels² — driver-trivial by construction.  Dot
+    products use the same per-pair (a·b)/(|a||b|) float64 kernel as
+    ``embedding_outlier_scores``; 6dp truncation absorbs cross-engine
+    summation-order ulps (oracle.LABEL_CENTROID_SIMILARITY re-derives the
+    centroids with the EMBEDDING_OUTLIER_SCORES CTE and pairs them with
+    list_cosine_similarity)."""
+    labs, C = _label_centroids(sf_dir)
+    k = labs.size
+    ia, ib = np.triu_indices(k, k=1)
+    cos = (C[ia] * C[ib]).sum(axis=1) / (
+        np.linalg.norm(C[ia], axis=1) * np.linalg.norm(C[ib], axis=1)
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "label_a": labs[ia].astype("int64"),
+                "label_b": labs[ib].astype("int64"),
+                "cos": np.floor(cos * 1e6) / 1e6,
+            }
+        )
+    )
+
+
+def embedding_outlier_scores(sf_dir: str) -> Dataset:
+    """Prototypicality per vector: cosine similarity to its LABEL centroid
+    — ``(vec_id, label, cos_centroid)``.  The SemDeDup/SSL-prototypes
+    pruning signal: vectors far from their cluster centroid are either
+    valuable diversity or noise, and selection pipelines cut on exactly
+    this score.
+
+    Scale shape: phase 1 reduces per-block ``(label, dim, Σcomponent,
+    count)`` partials through the standard ``grouped()`` merge — the
+    exchange moves blocks × labels × dim small rows, never the matrix; the
+    driver materializes ONLY the centroid table (labels × dim — class-count
+    bounded, corpus-size independent), closes over it, and phase 2 is one
+    streamed vectorized scoring pass.  Scores floor-truncate at 6dp, the
+    embedding-family parity convention (oracle.EMBEDDING_OUTLIER_SCORES
+    re-derives centroid and cosine in SQL)."""
+    labs, C = _label_centroids(sf_dir)
     cnorm = np.linalg.norm(C, axis=1)
     lab_row = {int(l): i for i, l in enumerate(labs)}
 

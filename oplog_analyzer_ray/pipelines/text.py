@@ -1462,3 +1462,60 @@ def boilerplate_ngrams(sf_dir: str) -> Dataset:
     return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+TOPK_PER_SOURCE = 3  # rows kept per source by top_docs_per_source
+
+
+def top_docs_per_source(sf_dir: str) -> Dataset:
+    """Per-group top-k ROWS (the window-rank primitive the family lacks —
+    ``hot_keys_topk`` ranks GROUPS): the ``TOPK_PER_SOURCE`` highest-quality
+    documents of each source — ``(source, rnk, doc_id, q_int)``, rnk dense
+    from 1 in (q_int DESC, doc_id) order.  The "best exemplars per source"
+    pull a curation review runs.
+
+    Scale shape: reads the session-memoized quality int table (no new text
+    pass), prunes to the per-source top-k INSIDE every block (a block can
+    never contribute more than k rows per source, so the shuffle is bounded
+    at blocks × sources × k rows regardless of corpus size), then a tiny
+    per-source merge ranks the survivors.  Oracle:
+    ``oracle.TOP_DOCS_PER_SOURCE`` (row_number window over the same quality
+    expression)."""
+    import pyarrow as pa
+
+    k = TOPK_PER_SOURCE
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["source", "q_int", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("source", sort=False).head(k)[
+            ["source", "doc_id", "q_int"]
+        ]
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["q_int", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        out = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "rnk": np.arange(1, len(df) + 1, dtype=np.int64),
+                "doc_id": df["doc_id"].to_numpy(),
+                "q_int": df["q_int"].to_numpy(),
+            }
+        )
+        # arrow out + no pandas schema metadata (unhashable-schema warning)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        quality_int_table(sf_dir)
+        .map_batches(prune, batch_format="pandas")
+        .groupby("source")
+        .map_groups(fin, batch_format="pandas")
+        .sort(["source", "rnk"])
+    )

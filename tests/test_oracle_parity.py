@@ -90,6 +90,10 @@ _TABLE_SQL = {
     "tumbling_window": oracle.TUMBLING_WINDOW,
     "daily_active_users": oracle.DAILY_ACTIVE_USERS,
     "props_value_stats": oracle.PROPS_VALUE_STATS,
+    "event_type_cooccurrence": oracle.EVENT_TYPE_COOCCURRENCE,
+    "daily_anomalies": oracle.DAILY_ANOMALIES,
+    "top_docs_per_source": oracle.TOP_DOCS_PER_SOURCE,
+    "label_centroid_similarity": oracle.LABEL_CENTROID_SIMILARITY,
     "sliding_window": oracle.SLIDING_WINDOW,
     "media_features": oracle.MEDIA_FEATURES,
     "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
