@@ -46,6 +46,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "kmeans_assign": similarity.kmeans_assign,  # spherical k-means step
+        "kmeans_refine": similarity.kmeans_refine,  # one Lloyd iteration
+        "power_users": ev.power_users,  # exact-p95 heavy hitters
+        "session_stats": ev.session_stats,  # engagement rollup
+        "top_event_paths": ev.top_event_paths,  # first-3 path mining
+        "inter_event_gaps": ev.inter_event_gaps,  # cadence per type
+        "hourly_activity": ev.hourly_activity,  # hour-of-day load profile
+        "doc_ttr": text.doc_ttr,  # per-doc lexical diversity
+        "zipf_slope": text.zipf_slope,  # vocabulary-head Zipf fit
         "event_type_cooccurrence": ev.event_type_cooccurrence,  # basket pairs
         "daily_anomalies": ev.daily_anomalies,  # per-type volume z-scores
         "top_docs_per_source": text.top_docs_per_source,  # window-rank top-k
@@ -254,4 +263,13 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oracle.MEDIA_FEATURES,
         "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
         "media_resize": oracle.MEDIA_RESIZE,
+        "kmeans_assign": oracle.KMEANS_ASSIGN,
+        "kmeans_refine": oracle.kmeans_refine_sql(_ORACLE_SF_DIR),
+        "power_users": oracle.POWER_USERS,
+        "session_stats": oracle.SESSION_STATS,
+        "top_event_paths": oracle.TOP_EVENT_PATHS,
+        "inter_event_gaps": oracle.INTER_EVENT_GAPS,
+        "hourly_activity": oracle.HOURLY_ACTIVITY,
+        "doc_ttr": oracle.DOC_TTR,
+        "zipf_slope": oracle.ZIPF_SLOPE,
     }

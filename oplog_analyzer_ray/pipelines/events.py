@@ -851,3 +851,280 @@ def daily_anomalies(sf_dir: str) -> Dataset:
         .map_groups(fin, batch_format="pandas")
         .sort(["event_type", "day"])
     )
+
+
+# ------------------------------------------------ activity / gap / path ops
+def hourly_activity(sf_dir: str) -> Dataset:
+    """Hour-of-day load profile: ``(event_type, hour, cnt, sum_value)`` —
+    the capacity-planning rollup (when does each event type peak?).  Pure
+    derived-column grouped() shape: hour is one vectorized temporal kernel,
+    values sum in exact integer cents, the exchange moves types × 24 partial
+    rows per block.  Oracle: ``oracle.HOURLY_ACTIVITY``."""
+    def add_hour(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pc.cast(pc.hour(t.column("ts")), pa.int64()),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    g = grouped(
+        read_events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+            add_hour, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("event_type", "hour"), sum_cols=("cents",)),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": t.column("hour"),
+                "cnt": t.column("cnt"),
+                "sum_value": pc.divide(
+                    pc.cast(t.column("sum_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["event_type", "hour"]
+    )
+
+
+# power-user quantile as an exact integer predicate: q = 0.95 = 19/20, so
+# "cume_dist >= 0.95" is "20 * cum_users >= 19 * total_users" with no float
+# division on either engine (quantile_disc's smallest-value-with-cume>=q
+# rule, pinned boundary-exactly)
+_POWER_Q_NUM, _POWER_Q_DEN = 19, 20
+
+
+def power_users(sf_dir: str) -> Dataset:
+    """Heavy-hitter users: ``(user_id, n_events)`` for every user at or
+    above the exact p95 of per-user event counts.
+
+    Scale shape: pass 1 collapses events to (user, count) through the
+    standard grouped() merge; the threshold comes from a SECOND grouped()
+    over the COUNT VALUES — a counting histogram bounded by distinct count
+    magnitudes (≪ users; the driver materializes only that histogram, same
+    discipline as ``size_percentiles``); pass 2 re-derives the per-user
+    counts and filters.  No per-user driver state at any scale.  Oracle:
+    ``oracle.POWER_USERS`` (identical integer threshold rule)."""
+    def counts() -> Dataset:
+        g = grouped(
+            read_events(sf_dir, ["user_id"]), GroupSpec(keys=("user_id",))
+        )
+        return g.map_batches(
+            lambda t: pa.table(
+                {"user_id": t.column("user_id"), "n_events": t.column("cnt")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    hist = (
+        grouped(counts(), GroupSpec(keys=("n_events",)))
+        .to_pandas()  # distinct count VALUES — magnitude-bounded, not users
+        .sort_values("n_events")
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    total = int(cum[-1]) if len(cum) else 0
+    ok = np.flatnonzero(_POWER_Q_DEN * cum >= _POWER_Q_NUM * total)
+    thr = int(hist["n_events"].to_numpy()[ok[0]]) if ok.size else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_events"), thr))
+
+    return counts().map_batches(keep, batch_format="pyarrow").sort(["user_id"])
+
+
+def session_stats(sf_dir: str) -> Dataset:
+    """One-row corpus rollup over :func:`sessionization`: ``(n_sessions,
+    n_bounces, avg_events, avg_duration_s, sum_value)`` — the engagement
+    summary (bounce = single-event session).  Durations sum in exact
+    integer microseconds and values in integer cents, so the only floats
+    are the two final divisions — identical IEEE trees to
+    ``oracle.SESSION_STATS``, 6dp-truncated.  The corpus-sized work is
+    sessionization's bucketed exchange; this adds one partial-merge pass
+    over its session rows."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dur_us = (
+            df["end_ts"].astype("int64") - df["start_ts"].astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "n_sessions": np.int64(len(df)),
+                "n_bounces": np.int64((df["n_events"] == 1).sum()),
+                "sum_events": df["n_events"].sum().astype("int64")
+                if len(df)
+                else np.int64(0),
+                "sum_dur_us": dur_us.sum().astype("int64")
+                if len(df)
+                else np.int64(0),
+                "sum_cents": (df["sum_value"] * 100)
+                .round()
+                .astype("int64")
+                .sum()
+                if len(df)
+                else np.int64(0),
+            }
+        )
+
+    g = grouped(
+        sessionization(sf_dir).map_batches(partial, batch_format="pandas"),
+        GroupSpec(
+            keys=("k",),
+            count=False,
+            sum_cols=(
+                "n_sessions",
+                "n_bounces",
+                "sum_events",
+                "sum_dur_us",
+                "sum_cents",
+            ),
+        ),
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum_n_sessions"].to_numpy().astype(np.float64)
+        avg_events = (
+            df["sum_sum_events"].to_numpy().astype(np.float64) / n
+        )
+        avg_dur = (
+            df["sum_sum_dur_us"].to_numpy().astype(np.float64) / 1000000.0 / n
+        )
+        return pd.DataFrame(
+            {
+                "n_sessions": df["sum_n_sessions"].astype("int64"),
+                "n_bounces": df["sum_n_bounces"].astype("int64"),
+                "avg_events": np.floor(avg_events * 1e6) / 1e6,
+                "avg_duration_s": np.floor(avg_dur * 1e6) / 1e6,
+                "sum_value": df["sum_sum_cents"].to_numpy() / 100.0,
+            }
+        )
+
+    return g.map_batches(post, batch_format="pandas")
+
+
+_PATH_LEN = 3  # first-K event types per user
+_PATH_SCHEMA = pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+
+
+def top_event_paths(sf_dir: str) -> Dataset:
+    """Path mining: each user's FIRST three event types (by ts, event_id)
+    joined as ``'a>b>c'``, counted across users — ``(path, n_users)``.
+    The onboarding-flow report ("what do new users actually do first?").
+
+    Scale shape: the user-hash bucketed exchange co-locates each user's
+    events; within a bucket the head-3 + join + count is all C-level
+    pandas, and the bucket emits per-PATH counts (≤ types³ rows), so the
+    final grouped() merge is trivially small.  Oracle:
+    ``oracle.TOP_EVENT_PATHS`` (row_number + ordered string_agg)."""
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "path": pd.Series([], dtype="object"),
+                    "n_users": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        head = df.groupby("user_id", sort=False).head(_PATH_LEN)
+        p = head.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        vc = p.value_counts()
+        return pd.DataFrame(
+            {"path": vc.index.to_numpy(), "n_users": vc.to_numpy().astype("int64")}
+        )
+
+    ev = read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    per_bucket = _user_bucket_apply(
+        sf_dir, ev, paths, session_buckets(sf_dir)
+    )
+    g = grouped(
+        per_bucket,
+        GroupSpec(keys=("path",), count=False, sum_cols=("n_users",)),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"path": t.column("path"), "n_users": t.column("sum_n_users")}
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["path"])
+
+
+def inter_event_gaps(sf_dir: str) -> Dataset:
+    """Cadence per event type: for every event with a predecessor from the
+    same user (ordered by ts, event_id), the gap to that predecessor —
+    rolled up as ``(event_type, n_gaps, avg_gap_s, max_gap_s)``.  The
+    signal behind session-gap tuning and activity-cadence monitoring.
+
+    Gaps are exact integer microseconds end-to-end (vectorized int64
+    subtraction in the bucket task, int64 sum/max through grouped()); the
+    only float op is the final average — the identical
+    ``floor((sum/1e6/n)·1e6)/1e6`` tree as ``oracle.INTER_EVENT_GAPS``."""
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype="object"),
+                    "n": pd.Series([], dtype="int64"),
+                    "sum_us": pd.Series([], dtype="int64"),
+                    "max_us": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("int64").to_numpy()
+        same = df["user_id"].to_numpy()
+        has_prev = np.zeros(len(df), dtype=bool)
+        has_prev[1:] = same[1:] == same[:-1]
+        gap = np.zeros(len(df), dtype=np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        sub = pd.DataFrame(
+            {"event_type": df["event_type"].to_numpy(), "gap_us": gap}
+        )[has_prev]
+        if not len(sub):
+            return gaps(sub.iloc[0:0].drop(columns=["gap_us"]))
+        agg = sub.groupby("event_type", sort=False)["gap_us"].agg(
+            ["size", "sum", "max"]
+        )
+        return pd.DataFrame(
+            {
+                "event_type": agg.index.to_numpy(),
+                "n": agg["size"].to_numpy().astype("int64"),
+                "sum_us": agg["sum"].to_numpy().astype("int64"),
+                "max_us": agg["max"].to_numpy().astype("int64"),
+            }
+        )
+
+    ev = read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    per_bucket = _user_bucket_apply(sf_dir, ev, gaps, session_buckets(sf_dir))
+    g = grouped(
+        per_bucket,
+        GroupSpec(
+            keys=("event_type",),
+            count=False,
+            sum_cols=("n", "sum_us"),
+            max_cols=("max_us",),
+        ),
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum_n"].to_numpy().astype(np.float64)
+        avg = (
+            df["sum_sum_us"].to_numpy().astype(np.float64) / 1000000.0 / n
+        )
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_gaps": df["sum_n"].astype("int64"),
+                "avg_gap_s": np.floor(avg * 1e6) / 1e6,
+                "max_gap_s": df["max_max_us"].to_numpy().astype(np.float64)
+                / 1000000.0,
+            }
+        )
+
+    return g.map_batches(post, batch_format="pandas").sort(["event_type"])

@@ -111,23 +111,27 @@ def _query_row_groups(path: str, upper: int) -> list[int]:
     return keep
 
 
-def _load_queries(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Load the N_QUERIES query vectors with a row-group-pruned read: only
+def _load_queries(
+    sf_dir: str, upper: int = N_QUERIES
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load the ``vec_id < upper`` vectors with a row-group-pruned read: only
     groups whose vec_id min-statistic admits a match are decoded (fixes the
     round-2 finding — the previous full-table ``pq.read_table`` was a
-    driver-side materialization of the whole corpus to fetch 5 rows)."""
+    driver-side materialization of the whole corpus to fetch 5 rows).
+    Shared by the knn query batch (upper=N_QUERIES) and the k-means seed
+    centroids (upper=KMEANS_K)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     parts = []
     for path in _emb_files(sf_dir):
-        rgs = _query_row_groups(path, N_QUERIES)
+        rgs = _query_row_groups(path, upper)
         if not rgs:  # footer-only rejection of files with no matching ids
             continue
         parts.append(
             pq.ParquetFile(path)
             .read_row_groups(rgs, columns=["vec_id", "embedding"])
-            .filter(pc.less(pc.field("vec_id"), N_QUERIES))
+            .filter(pc.less(pc.field("vec_id"), upper))
         )
     t = pa.concat_tables(parts)
     df = t.to_pandas().sort_values("vec_id")
@@ -960,3 +964,138 @@ def embedding_outlier_scores(sf_dir: str) -> Dataset:
         )
 
     return read_embeddings(sf_dir).map_batches(score, batch_format="pandas")
+
+
+# --------------------------------------------------------- k-means (Lloyd)
+KMEANS_K = 8  # seed centroids = the vec_id < K vectors (deterministic init)
+
+
+def _kmeans_seeds(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic k-means init: the ``vec_id < KMEANS_K`` vectors, loaded
+    with the same row-group-pruned read as the knn query batch (bounded at
+    any corpus size), sorted by vec_id."""
+    return _load_queries(sf_dir, KMEANS_K)
+
+
+def _assign_cols(
+    df: pd.DataFrame, cids: np.ndarray, cn: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized spherical-k-means assignment for one batch: 6dp-floored
+    cosine to every centroid, argmax with ties to the SMALLEST centroid id
+    (argmax returns the first maximum and ``cids`` is ascending — the same
+    rule as the oracle's ``ORDER BY f DESC, cid`` row_number).  Flooring
+    BEFORE the argmax is what makes the assignment itself cross-engine
+    deterministic: sub-1e-6 kernel ulps can no longer flip the winner.
+    The vec==centroid self-pair is pinned to exactly 1.0 (mathematically
+    exact; kernel round-off would otherwise floor it to 0.999999 on one
+    engine and 1.0 on the other)."""
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.floor((mn @ cn.T) * 1e6) / 1e6
+    vid = df["vec_id"].to_numpy()
+    for col, c in enumerate(cids):  # k-bounded loop, vectorized body
+        cos[vid == c, col] = 1.0
+    j = np.argmax(cos, axis=1)
+    return m, j, cos[np.arange(len(j)), j]
+
+
+def kmeans_assign(sf_dir: str) -> Dataset:
+    """Spherical k-means assignment step: every vector labeled with its
+    nearest seed centroid by cosine — ``(vec_id, cluster, cos)``.  The
+    clustering primitive under IVF indexing, SemDeDup-style pruning and
+    diversity sampling; one streamed matmul pass, centroids broadcast once
+    via ``ray.put`` (corpus never shuffles).  Oracle:
+    ``oracle.KMEANS_ASSIGN``."""
+    cids, C = _kmeans_seeds(sf_dir)
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ref = ray.put((cids.astype(np.int64), cn))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cnorm = ray.get(ref)
+        _, j, best = _assign_cols(df, ids, cnorm)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(),
+                "cluster": ids[j],
+                "cos": best,
+            }
+        )
+
+    return (
+        read_embeddings(sf_dir)
+        .map_batches(assign, batch_format="pandas")
+        .sort(["vec_id"])
+    )
+
+
+def kmeans_refine(sf_dir: str) -> Dataset:
+    """One Lloyd iteration on the seed centroids: assign (exactly
+    :func:`kmeans_assign`'s floored-argmax rule), recompute each centroid
+    as the float64 mean of its members, and report ``(cluster, n_members,
+    drift)`` where drift = 6dp-floored cosine between the new and the seed
+    centroid (1.0 = already converged).  The convergence-telemetry row a
+    clustering pipeline watches per iteration.
+
+    Scale shape: identical to ``embedding_outlier_scores``' centroid
+    derivation — per-block (cluster, dim, Σcomponent, count) partials
+    through the standard grouped() merge (the exchange moves blocks × k × d
+    small rows, never vectors); the driver materializes only the k × d
+    centroid table.  Iterating = feeding the new centroids back through the
+    same two stages.  Oracle: ``oracle.kmeans_refine_sql`` (assignment +
+    per-dim AVG re-derived in SQL, dim-parameterized)."""
+    from .agg import GroupSpec, grouped
+
+    cids, C = _kmeans_seeds(sf_dir)
+    cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    k, d = C.shape
+    ref = ray.put((cids.astype(np.int64), cn))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cnorm = ray.get(ref)
+        m, j, _ = _assign_cols(df, ids, cnorm)
+        kk, dd = cnorm.shape
+        order = np.argsort(j, kind="stable")
+        present = np.unique(j)
+        bounds = np.searchsorted(j[order], present)
+        sums = np.add.reduceat(m[order], bounds, axis=0)
+        cnts = np.bincount(j, minlength=kk)[present].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cluster": np.repeat(ids[present], dd),
+                "dim": np.tile(np.arange(dd, dtype=np.int64), present.size),
+                "s": sums.reshape(-1),
+                "cnt": np.repeat(cnts, dd),
+            }
+        )
+
+    cent = (
+        grouped(
+            read_embeddings(sf_dir).map_batches(partial, batch_format="pandas"),
+            GroupSpec(keys=("cluster", "dim"), count=False, sum_cols=("s", "cnt")),
+        )
+        .to_pandas()  # k × d rows — K-bounded, corpus-size independent
+        .sort_values(["cluster", "dim"])
+    )
+    labs = cent["cluster"].unique()
+    newC = cent["sum_s"].to_numpy().reshape(labs.size, d) / cent[
+        "sum_cnt"
+    ].to_numpy().reshape(labs.size, d)
+    n_members = (
+        cent["sum_cnt"].to_numpy().reshape(labs.size, d)[:, 0].astype("int64")
+    )
+    # seed row for each surviving cluster (every seed survives in practice:
+    # it is its own nearest centroid at cos 1.0)
+    row = {int(c): i for i, c in enumerate(cids)}
+    old = C[[row[int(c)] for c in labs]]
+    drift = (newC * old).sum(axis=1) / (
+        np.linalg.norm(newC, axis=1) * np.linalg.norm(old, axis=1)
+    )
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "cluster": labs.astype("int64"),
+                "n_members": n_members,
+                "drift": np.floor(drift * 1e6) / 1e6,
+            }
+        )
+    )

@@ -1519,3 +1519,106 @@ def top_docs_per_source(sf_dir: str) -> Dataset:
         .map_groups(fin, batch_format="pandas")
         .sort(["source", "rnk"])
     )
+
+
+# ------------------------------------------------------ lexical-shape stats
+def doc_ttr(sf_dir: str) -> Dataset:
+    """Type-token ratio per document: ``(doc_id, source, n_tokens,
+    uniq_tokens, ttr)`` — the lexical-diversity column selection pipelines
+    cut on (low TTR = template/repetitive text; the per-doc counterpart of
+    ``repetition_scores``).  One streamed pass, the C-level exploded-token
+    groupby shared with ``token_counts``; ttr = uniq/n is an exact-integer
+    float division (same IEEE op as the SQL CAST/divide), 6dp-truncated.
+    Oracle: ``oracle.DOC_TTR``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        _, n, ex = _exploded_tokens(df)
+        uniq = ex.groupby(level=0).nunique().reindex(df.index).astype("int64")
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "source": df["source"],
+                "n_tokens": n,
+                "uniq_tokens": uniq,
+                "ttr": _trunc6(
+                    uniq.astype("float64") / n.astype("float64")
+                ),
+            }
+        )
+
+    return read_documents(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+ZIPF_RANKS = 1000  # fit over the top-N vocabulary head
+
+
+def zipf_slope(sf_dir: str) -> Dataset:
+    """Zipf fit over the vocabulary head: least-squares slope/intercept of
+    ln(count) on ln(rank) across the top ``ZIPF_RANKS`` tokens — one row
+    ``(n_ranks, slope, intercept)``.  Natural text sits near slope −1;
+    corpus-QA dashboards watch this to catch template floods and
+    boilerplate-heavy crawls (which flatten or steepen the curve).
+
+    Scale shape: per-batch distinct-token partials (vocabulary-sized, never
+    token-stream-sized) through the standard grouped() merge, then
+    :func:`~.agg.topk` prunes to blocks × N rows before the tiny global
+    sort; the driver fits over ≤ N rows.  Rank order is the total order
+    (cnt desc, tok asc) on both engines; the fit sums are the identical
+    float64 expression tree as ``oracle.ZIPF_SLOPE``, 6dp-truncated."""
+    from .agg import GroupSpec, grouped, topk
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, ex = _exploded_tokens(df)
+        vc = ex.value_counts()
+        return pd.DataFrame(
+            {
+                "tok": vc.index.to_numpy(),
+                "n": vc.to_numpy().astype("int64"),
+            }
+        )
+
+    def rename(t):
+        import pyarrow as _pa
+
+        return _pa.table(
+            {"tok": t.column("tok"), "cnt": t.column("sum_n")}
+        )
+
+    counts = grouped(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(keys=("tok",), count=False, sum_cols=("n",)),
+    ).map_batches(rename, batch_format="pyarrow")
+    head = topk(
+        counts, ZIPF_RANKS, [("cnt", "descending"), ("tok", "ascending")]
+    ).to_pandas()  # ≤ ZIPF_RANKS rows by construction
+    n = np.float64(len(head))
+    if n < 2:  # degenerate vocabulary: no fit (SQL NULL-division drop)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "n_ranks": pd.Series([], dtype="int64"),
+                    "slope": pd.Series([], dtype="float64"),
+                    "intercept": pd.Series([], dtype="float64"),
+                }
+            )
+        )
+    rank = np.arange(1, len(head) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(head["cnt"].to_numpy().astype(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "n_ranks": np.array([len(head)], dtype=np.int64),
+                "slope": np.floor(np.array([slope]) * 1e6) / 1e6,
+                "intercept": np.floor(np.array([intercept]) * 1e6) / 1e6,
+            }
+        )
+    )

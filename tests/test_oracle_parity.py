@@ -98,6 +98,14 @@ _TABLE_SQL = {
     "media_features": oracle.MEDIA_FEATURES,
     "media_frame_sample": oracle.MEDIA_FRAME_SAMPLE,
     "media_resize": oracle.MEDIA_RESIZE,
+    "kmeans_assign": oracle.KMEANS_ASSIGN,
+    "power_users": oracle.POWER_USERS,
+    "session_stats": oracle.SESSION_STATS,
+    "top_event_paths": oracle.TOP_EVENT_PATHS,
+    "inter_event_gaps": oracle.INTER_EVENT_GAPS,
+    "hourly_activity": oracle.HOURLY_ACTIVITY,
+    "doc_ttr": oracle.DOC_TTR,
+    "zipf_slope": oracle.ZIPF_SLOPE,
 }
 
 # round-3: the ANN family now has exact SQL oracles (index artifacts
@@ -112,6 +120,7 @@ _SF_SQL = {
     "embedding_near_dups_lsh": oracle.embedding_near_dups_lsh_sql,
     "semantic_dedup_lsh": oracle.semantic_dedup_lsh_sql,
     "ann_recall_report": oracle.ann_recall_sql,
+    "kmeans_refine": oracle.kmeans_refine_sql,
 }
 
 
