@@ -46,6 +46,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "dup_rate_by_source": dedup.dup_rate_by_source,  # provenance rollup
+        "near_dup_source_matrix": dedup.near_dup_source_matrix,  # mirror map
+        "importance_sample": text.importance_sample,  # quality-weighted keep
+        "eval_overlap_by_source": text.eval_overlap_by_source,  # contamination
+        "repeat_purchase_rate": ev.repeat_purchase_rate,  # loyalty KPI
+        "conversion_lag_stats": ev.conversion_lag_stats,  # time-to-convert
         "kmeans_assign": similarity.kmeans_assign,  # spherical k-means step
         "kmeans_refine": similarity.kmeans_refine,  # one Lloyd iteration
         "power_users": ev.power_users,  # exact-p95 heavy hitters
@@ -272,4 +278,10 @@ def oracle_sql() -> dict[str, str]:
         "hourly_activity": oracle.HOURLY_ACTIVITY,
         "doc_ttr": oracle.DOC_TTR,
         "zipf_slope": oracle.ZIPF_SLOPE,
+        "dup_rate_by_source": oracle.DUP_RATE_BY_SOURCE,
+        "near_dup_source_matrix": oracle.NEAR_DUP_SOURCE_MATRIX,
+        "importance_sample": oracle.IMPORTANCE_SAMPLE,
+        "eval_overlap_by_source": oracle.EVAL_OVERLAP_BY_SOURCE,
+        "repeat_purchase_rate": oracle.REPEAT_PURCHASE_RATE,
+        "conversion_lag_stats": oracle.CONVERSION_LAG_STATS,
     }

@@ -1331,3 +1331,237 @@ def dedup_cluster_sizes(sf_dir: str) -> Dataset:
     return hist.map_batches(finish, batch_format="pyarrow").sort(
         ["cluster_size"]
     )
+
+
+# ------------------------------------------------- provenance rollups (r5)
+def dup_rate_by_source(sf_dir: str) -> Dataset:
+    """Duplication accounting per source: ``(source, n_docs, dup_docs,
+    dup_rate)`` — dup_docs = documents that are NOT their near-dup
+    cluster's canonical representative.  The provenance rollup that tells
+    a crawl pipeline which feeds are mostly mirrors of each other.
+
+    Scale shape: joins two session-memoized int tables (the dedup decision
+    and the quality int table, which carries ``source``) through ONE
+    doc_id-bucketed exchange — no new text pass, text never moves; the
+    per-source finish is a sources-bounded grouped().  Oracle:
+    ``oracle.DUP_RATE_BY_SOURCE`` (same recursive-closure decision)."""
+    from .agg import hash_bucket_apply
+    from .text import documents_bytes, quality_int_table
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    use_ex = documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES
+
+    def dec_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dup": pc.cast(
+                    pc.invert(t.column("is_canonical")), pa.int64()
+                ),
+                "source": pa.nulls(t.num_rows, pa.string()),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "dup": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "source": t.column("source"),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    side_a = dedup_decision(sf_dir).map_batches(
+        dec_rows, batch_format="pyarrow"
+    )
+    side_b = quality_int_table(sf_dir).map_batches(
+        src_rows, batch_format="pyarrow"
+    )
+
+    def join(group: pa.Table) -> pa.Table:
+        is_a = pc.equal(group.column("_side"), 0)
+        a = group.filter(is_a)
+        b = group.filter(pc.invert(is_a))
+        idx = _index_in_strict(
+            a.column("doc_id"), b.column("doc_id"), "dup_rate_by_source.join"
+        )
+        return pa.table(
+            {
+                "source": pc.take(b.column("source"), idx),
+                "dup": a.column("dup"),
+            }
+        )
+
+    joined = hash_bucket_apply(
+        side_a.union(side_b),
+        ("doc_id",),
+        join,
+        buckets,
+        use_exchange=use_ex,
+        empty=pa.schema(
+            [("source", pa.string()), ("dup", pa.int64())]
+        ).empty_table(),
+    )
+    g = grouped(joined, GroupSpec(keys=("source",), sum_cols=("dup",)))
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["cnt"].to_numpy().astype(np.float64)
+        d = df["sum_dup"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["cnt"].astype("int64"),
+                "dup_docs": df["sum_dup"].astype("int64"),
+                "dup_rate": np.floor((d / n) * 1e6) / 1e6,
+            }
+        )
+
+    return g.map_batches(post, batch_format="pandas").sort(["source"])
+
+
+def near_dup_source_matrix(sf_dir: str) -> Dataset:
+    """Source × source near-dup pair counts: ``(source_a, source_b,
+    n_pairs)`` with source_a ≤ source_b — the cross-feed mirror map
+    (off-diagonal mass = distinct feeds crawling the same content;
+    diagonal = within-feed duplication).
+
+    Scale shape: the session-memoized verified pair set joins the
+    session-memoized (doc_id, source) table through TWO doc_id-bucketed
+    int exchanges (attach source_a by hash(doc_a), then source_b by
+    hash(doc_b) — the same two-hop shape as the Jaccard verify); the
+    finish is a sources²-bounded grouped().  Oracle:
+    ``oracle.NEAR_DUP_SOURCE_MATRIX``."""
+    from .agg import hash_bucket_apply
+    from .text import documents_bytes, quality_int_table
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    use_ex = documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES
+    src = quality_int_table(sf_dir)
+
+    def src_rows(key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: t.column("doc_id"),
+                    "other": pa.array(
+                        np.full(t.num_rows, -1, dtype=np.int64)
+                    ),
+                    "src": t.column("source"),
+                    "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    def hop(pairs_tagged: Dataset, key: str, out_cols) -> Dataset:
+        def join(group: pa.Table) -> pa.Table:
+            is_p = pc.equal(group.column("_side"), 0)
+            p = group.filter(is_p)
+            s = group.filter(pc.invert(is_p))
+            idx = _index_in_strict(
+                p.column(key), s.column(key), f"source_matrix.{key}"
+            )
+            cols = {c: p.column(c) for c in out_cols if c in p.column_names}
+            cols[f"src_{key}"] = pc.take(s.column("src"), idx)
+            return pa.table(cols)
+
+        side_s = src.map_batches(src_rows(key), batch_format="pyarrow")
+        return hash_bucket_apply(
+            pairs_tagged.union(side_s),
+            (key,),
+            join,
+            buckets,
+            use_exchange=use_ex,
+            empty=pa.schema(
+                [(c, pa.int64()) for c in out_cols if not c.startswith("src")]
+                + [(f"src_{key}", pa.string())]
+                + (
+                    [("src_doc_a", pa.string())]
+                    if "src_doc_a" in out_cols
+                    else []
+                )
+            ).empty_table(),
+        )
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "other": t.column("doc_b"),
+                "src": pa.nulls(t.num_rows, pa.string()),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    hop1 = hop(
+        _jaccard_pairs(sf_dir).map_batches(tag_pairs, batch_format="pyarrow"),
+        "doc_a",
+        ("doc_a", "other"),
+    )
+
+    def retag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_b": t.column("other"),
+                "other": t.column("doc_a"),
+                "src": pa.nulls(t.num_rows, pa.string()),
+                "src_doc_a": t.column("src_doc_a"),
+                "_side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def join_b(group: pa.Table) -> pa.Table:
+        is_p = pc.equal(group.column("_side"), 0)
+        p = group.filter(is_p)
+        s = group.filter(pc.invert(is_p))
+        idx = _index_in_strict(
+            p.column("doc_b"), s.column("doc_b"), "source_matrix.doc_b"
+        )
+        sa = p.column("src_doc_a")
+        sb = pc.take(s.column("src"), idx)
+        return pa.table(
+            {
+                "source_a": pc.min_element_wise(sa, sb),
+                "source_b": pc.max_element_wise(sa, sb),
+            }
+        )
+
+    def src_rows_b(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_b": t.column("doc_id"),
+                "other": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "src": t.column("source"),
+                "src_doc_a": pa.nulls(t.num_rows, pa.string()),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
+        )
+
+    hop2 = hash_bucket_apply(
+        hop1.map_batches(retag, batch_format="pyarrow").union(
+            src.map_batches(src_rows_b, batch_format="pyarrow")
+        ),
+        ("doc_b",),
+        join_b,
+        buckets,
+        use_exchange=use_ex,
+        empty=pa.schema(
+            [("source_a", pa.string()), ("source_b", pa.string())]
+        ).empty_table(),
+    )
+    g = grouped(hop2, GroupSpec(keys=("source_a", "source_b")))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source_a": t.column("source_a"),
+                "source_b": t.column("source_b"),
+                "n_pairs": t.column("cnt"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["source_a", "source_b"]
+    )

@@ -1128,3 +1128,144 @@ def inter_event_gaps(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pandas").sort(["event_type"])
+
+
+def repeat_purchase_rate(sf_dir: str) -> Dataset:
+    """One-row loyalty rollup: ``(buyers, repeat_buyers, repeat_rate)`` —
+    users with ≥1 purchase, users with ≥2, and their ratio (the classic
+    retention KPI).  Two grouped() levels, both bounded: purchases collapse
+    to (user, cnt) rows, those collapse to three integers; the rate is one
+    float division of exact ints, 6dp-truncated
+    (oracle.REPEAT_PURCHASE_RATE — empty-corpus contract: zero rows)."""
+    def only_purchases(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t.column("event_type"), "purchase")
+        ).select(["user_id"])
+
+    per_user = grouped(
+        read_events(sf_dir, ["event_type", "user_id"]).map_batches(
+            only_purchases, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("user_id",)),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        rep = int(pc.sum(pc.cast(pc.greater_equal(t.column("cnt"), 2),
+                                 pa.int64())).as_py() or 0)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(1, dtype=np.int64)),
+                "buyers": pa.array([n], pa.int64()),
+                "rep": pa.array([rep], pa.int64()),
+            }
+        )
+
+    g = grouped(
+        per_user.map_batches(partial, batch_format="pyarrow"),
+        GroupSpec(keys=("k",), count=False, sum_cols=("buyers", "rep")),
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sum_buyers"] > 0]
+        b = df["sum_buyers"].to_numpy().astype(np.float64)
+        r = df["sum_rep"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "buyers": df["sum_buyers"].astype("int64"),
+                "repeat_buyers": df["sum_rep"].astype("int64"),
+                "repeat_rate": np.floor((r / b) * 1e6) / 1e6,
+            }
+        )
+
+    return g.map_batches(post, batch_format="pandas")
+
+
+def conversion_lag_stats(sf_dir: str) -> Dataset:
+    """One-row view→purchase latency rollup: among users whose first
+    purchase is at or after their first view, ``(n_users, avg_lag_s,
+    max_lag_s)`` over first-view→first-purchase gaps.  The time-to-convert
+    KPI behind funnel dashboards.
+
+    Scale shape: events collapse to (user, type, min ts) through grouped()
+    — the exchange moves users × 2 timestamp rows, never raw events; the
+    per-user pivot runs in the user-hash bucket exchange; the final merge
+    is three integers.  Gaps are exact integer microseconds; the average
+    is the shared sum/1e6/n float64 tree, 6dp-truncated
+    (oracle.CONVERSION_LAG_STATS)."""
+    def vp_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(["view", "purchase"]),
+            )
+        )
+
+    firsts = grouped(
+        read_events(sf_dir, ["event_type", "user_id", "ts"]).map_batches(
+            vp_only, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("user_id", "event_type"), count=False, min_cols=("ts",)),
+    )
+
+    def lags(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "k": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "sum_us": pd.Series([], dtype="int64"),
+                    "max_us": pd.Series([], dtype="int64"),
+                }
+            )
+        p = df.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="min_ts",
+            aggfunc="first",
+        )
+        if "view" not in p.columns or "purchase" not in p.columns:
+            lag = np.array([], dtype=np.int64)
+        else:
+            both = p.dropna(subset=["view", "purchase"])
+            lag = (
+                both["purchase"].astype("int64")
+                - both["view"].astype("int64")
+            ).to_numpy()
+            lag = lag[lag >= 0]
+        return pd.DataFrame(
+            {
+                "k": np.zeros(1, dtype=np.int64),
+                "n": np.array([lag.size], dtype=np.int64),
+                "sum_us": np.array([lag.sum() if lag.size else 0],
+                                   dtype=np.int64),
+                "max_us": np.array([lag.max() if lag.size else 0],
+                                   dtype=np.int64),
+            }
+        )
+
+    per_bucket = _user_bucket_apply(
+        sf_dir, firsts, lags, session_buckets(sf_dir)
+    )
+    g = grouped(
+        per_bucket,
+        GroupSpec(keys=("k",), count=False, sum_cols=("n", "sum_us"),
+                  max_cols=("max_us",)),
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["sum_n"] > 0]
+        n = df["sum_n"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "n_users": df["sum_n"].astype("int64"),
+                "avg_lag_s": np.floor(
+                    (df["sum_sum_us"].to_numpy().astype(np.float64)
+                     / 1000000.0 / n) * 1e6
+                ) / 1e6,
+                "max_lag_s": df["max_max_us"].to_numpy().astype(np.float64)
+                / 1000000.0,
+            }
+        )
+
+    return g.map_batches(post, batch_format="pandas")

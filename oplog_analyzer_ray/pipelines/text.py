@@ -1496,15 +1496,27 @@ def top_docs_per_source(sf_dir: str) -> Dataset:
         ]
 
     def fin(df: pd.DataFrame) -> pa.Table:
+        # one task over the bounded candidate set (blocks × sources × k
+        # rows): rank within source, already in output order.  A sort-based
+        # groupby(source) here costs a full extra shuffle stage for a
+        # result this small (~2.8 s of pure machinery at sf0.01); shard by
+        # source hash instead if sources × k ever outgrows one task.
         df = df.sort_values(
-            ["q_int", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+            ["source", "q_int", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("source", sort=False).head(k)
         out = pd.DataFrame(
             {
-                "source": df["source"].to_numpy(),
-                "rnk": np.arange(1, len(df) + 1, dtype=np.int64),
-                "doc_id": df["doc_id"].to_numpy(),
-                "q_int": df["q_int"].to_numpy(),
+                "source": top["source"].to_numpy(),
+                "rnk": top.groupby("source", sort=False)
+                .cumcount()
+                .to_numpy()
+                .astype(np.int64)
+                + 1,
+                "doc_id": top["doc_id"].to_numpy(),
+                "q_int": top["q_int"].to_numpy(),
             }
         )
         # arrow out + no pandas schema metadata (unhashable-schema warning)
@@ -1515,9 +1527,8 @@ def top_docs_per_source(sf_dir: str) -> Dataset:
     return (
         quality_int_table(sf_dir)
         .map_batches(prune, batch_format="pandas")
-        .groupby("source")
-        .map_groups(fin, batch_format="pandas")
-        .sort(["source", "rnk"])
+        .repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
     )
 
 
@@ -1622,3 +1633,110 @@ def zipf_slope(sf_dir: str) -> Dataset:
             }
         )
     )
+
+
+# ------------------------------------------------- quality-weighted keeps
+IMP_SALT = "imp:"  # independent of the split/stratified hash streams
+
+
+def importance_sample(sf_dir: str) -> Dataset:
+    """Quality-weighted downsampling: keep a document with probability
+    q_int/1e6 — implemented as the deterministic gate ``hash_permille <
+    q_int // 1000`` (salted md5 of the doc id, the repo's hash-gate
+    convention) so the sample is identical on every run and cluster size,
+    with no shuffle and no RNG state (the DoReMi-style "sample proportional
+    to quality" ingredient, made reproducible).  ``(doc_id, source, q_int,
+    hash_permille)`` for kept docs.  Reuses the session-memoized
+    :func:`quality_int_table`; the salt differs from ``train_val_split``'s
+    so sampling stays independent of split membership.  Oracle:
+    ``oracle.IMPORTANCE_SAMPLE``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["doc_id"]
+            .map(
+                lambda d: int(
+                    hashlib.md5(
+                        (IMP_SALT + str(int(d))).encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                % 1000
+            )
+            .astype("int64")
+        )
+        keep = h < (df["q_int"] // 1000)
+        out = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "source": df["source"],
+                "q_int": df["q_int"],
+                "hash_permille": h,
+            }
+        )
+        return out[keep.to_numpy()]
+
+    return (
+        quality_int_table(sf_dir)
+        .map_batches(fn, batch_format="pandas")
+        .sort(["doc_id"])
+    )
+
+
+def eval_overlap_by_source(sf_dir: str) -> Dataset:
+    """Contamination accounting per source: ``(source, n_docs,
+    contaminated_docs, total_hits, contamination_rate)`` — which upstream
+    feeds leak eval n-grams (the rollup a pipeline uses to drop or
+    re-crawl a source, where :func:`decontaminate` flags individual docs).
+
+    Scale shape: the eval gram set broadcasts once (``ray.put``), each
+    batch collapses to per-source partial rows (sources-bounded), and the
+    grouped() merge finishes — one streamed pass, no join (source rides
+    the same scan).  The rate is one float division of exact ints,
+    6dp-truncated (oracle.EVAL_OVERLAP_BY_SOURCE)."""
+    from .agg import GroupSpec, grouped
+
+    grams_ref = ray.put(_eval_gram_set(sf_dir))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        grams = resolve_eval_grams(grams_ref)
+        df = df[df["doc_id"] >= DECON_EVAL_DOCS]
+        hits = eval_gram_hits(df, grams)
+        g = pd.DataFrame(
+            {
+                "source": df["source"].to_numpy(),
+                "hits": hits.to_numpy().astype("int64"),
+                "contam": (hits.to_numpy() > 0).astype("int64"),
+            }
+        ).groupby("source", sort=False)
+        agg = g.agg(n=("hits", "size"), hits=("hits", "sum"), c=("contam", "sum"))
+        return pd.DataFrame(
+            {
+                "source": agg.index.to_numpy(),
+                "n": agg["n"].to_numpy().astype("int64"),
+                "hits": agg["hits"].to_numpy().astype("int64"),
+                "c": agg["c"].to_numpy().astype("int64"),
+            }
+        )
+
+    g = grouped(
+        read_documents(sf_dir, ["doc_id", "source", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(keys=("source",), count=False, sum_cols=("n", "hits", "c")),
+    )
+
+    def post(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["sum_n"].to_numpy().astype(np.float64)
+        c = df["sum_c"].to_numpy().astype(np.float64)
+        return pd.DataFrame(
+            {
+                "source": df["source"],
+                "n_docs": df["sum_n"].astype("int64"),
+                "contaminated_docs": df["sum_c"].astype("int64"),
+                "total_hits": df["sum_hits"].astype("int64"),
+                "contamination_rate": np.floor((c / n) * 1e6) / 1e6,
+            }
+        )
+
+    return g.map_batches(post, batch_format="pandas").sort(["source"])

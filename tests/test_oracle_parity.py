@@ -106,6 +106,12 @@ _TABLE_SQL = {
     "hourly_activity": oracle.HOURLY_ACTIVITY,
     "doc_ttr": oracle.DOC_TTR,
     "zipf_slope": oracle.ZIPF_SLOPE,
+    "dup_rate_by_source": oracle.DUP_RATE_BY_SOURCE,
+    "near_dup_source_matrix": oracle.NEAR_DUP_SOURCE_MATRIX,
+    "importance_sample": oracle.IMPORTANCE_SAMPLE,
+    "eval_overlap_by_source": oracle.EVAL_OVERLAP_BY_SOURCE,
+    "repeat_purchase_rate": oracle.REPEAT_PURCHASE_RATE,
+    "conversion_lag_stats": oracle.CONVERSION_LAG_STATS,
 }
 
 # round-3: the ANN family now has exact SQL oracles (index artifacts
