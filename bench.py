@@ -200,8 +200,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             extra["knn_bruteforce"] = similarity.knn_bruteforce
             extra["semantic_dedup"] = similarity.semantic_dedup
             extra["knn_graph"] = similarity.knn_graph
+            extra["kmeans_refine"] = similarity.kmeans_refine
         if os.path.exists(corpus_path(sf_dir, "events")):
             extra["sessionization"] = evmod.sessionization
+            extra["conversion_lag_stats"] = evmod.conversion_lag_stats
         for qname, fn in extra.items():
             t0 = time.monotonic()
             res = fn(sf_dir)
