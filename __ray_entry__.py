@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "trending_event_types": ev.trending_event_types,  # per-day rank
+        "rolling_wau": ev.rolling_wau,  # 7-day rolling distinct users
+        "value_percentiles": ev.value_percentiles,  # exact cents histogram
+        "quality_deciles_by_source": text.quality_deciles_by_source,
         "dup_rate_by_source": dedup.dup_rate_by_source,  # provenance rollup
         "near_dup_source_matrix": dedup.near_dup_source_matrix,  # mirror map
         "importance_sample": text.importance_sample,  # quality-weighted keep
@@ -284,4 +288,8 @@ def oracle_sql() -> dict[str, str]:
         "eval_overlap_by_source": oracle.EVAL_OVERLAP_BY_SOURCE,
         "repeat_purchase_rate": oracle.REPEAT_PURCHASE_RATE,
         "conversion_lag_stats": oracle.CONVERSION_LAG_STATS,
+        "trending_event_types": oracle.TRENDING_EVENT_TYPES,
+        "rolling_wau": oracle.ROLLING_WAU,
+        "value_percentiles": oracle.VALUE_PERCENTILES,
+        "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
     }

@@ -1269,3 +1269,188 @@ def conversion_lag_stats(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pandas")
+
+
+def trending_event_types(sf_dir: str) -> Dataset:
+    """Per-day trending rank: each day's top-3 event types by count —
+    ``(day, rnk, event_type, cnt)`` (the events-side counterpart of
+    ``top_docs_per_source``'s window-rank).
+
+    Scale shape: grouped() collapses to (day, type) count rows; a local
+    per-block top-3-per-day prune bounds the final task at blocks × days ×
+    3 rows (a globally top-3 row is top-3 in any block subset containing
+    it — the standard local-prune argument); one task ranks.  Oracle:
+    ``oracle.TRENDING_EVENT_TYPES``."""
+    TOP = 3
+
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    g = grouped(
+        read_events(sf_dir, ["ts", "event_type"]).map_batches(
+            add_day, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("day", "event_type")),
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["day", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("day", sort=False).head(TOP)
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(
+            ["day", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = df.groupby("day", sort=False).head(TOP)
+        out = pd.DataFrame(
+            {
+                "day": top["day"].to_numpy(),
+                "rnk": top.groupby("day", sort=False)
+                .cumcount()
+                .to_numpy()
+                .astype(np.int64)
+                + 1,
+                "event_type": top["event_type"].to_numpy(),
+                "cnt": top["cnt"].to_numpy().astype("int64"),
+            }
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        g.map_batches(prune, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
+    )
+
+
+def rolling_wau(sf_dir: str) -> Dataset:
+    """7-day trailing weekly-active-users per day: ``(window_start, wau)``
+    — the DAU→WAU rolling-distinct primitive (a plain sliding_window sum
+    cannot express DISTINCT; this stays exact).
+
+    Scale shape: three bounded grouped() levels — events collapse to
+    DISTINCT (user, day); a vectorized 7-way day-shift replicate (the
+    ``sliding_window`` idiom) lands each row in its windows; DISTINCT
+    (user, window) de-dupes; the window count finishes.  The widest
+    exchange moves users × days × 7 int rows — never raw events.  Oracle:
+    ``oracle.ROLLING_WAU``."""
+    def add_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.floor_temporal(t.column("ts"), unit="day"),
+            }
+        )
+
+    per_day = grouped(
+        read_events(sf_dir, ["user_id", "ts"]).map_batches(
+            add_day, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("user_id", "day")),
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = []
+        for k in range(7):
+            shift = pa.scalar(k * 86_400_000_000, pa.duration("us"))
+            parts.append(
+                pa.table(
+                    {
+                        "user_id": t.column("user_id"),
+                        "window_start": pc.subtract(t.column("day"), shift),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    per_window = grouped(
+        per_day.map_batches(explode, batch_format="pyarrow"),
+        GroupSpec(keys=("user_id", "window_start")),
+    )
+    wau = grouped(per_window, GroupSpec(keys=("window_start",)))
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": t.column("window_start"),
+                "wau": t.column("cnt"),
+            }
+        )
+
+    return wau.map_batches(post, batch_format="pyarrow").sort(
+        ["window_start"]
+    )
+
+
+VALUE_PCTS = (50, 90, 99)
+
+
+def value_percentiles(sf_dir: str) -> Dataset:
+    """Exact per-type value percentiles — ``(event_type, n_events, p50,
+    p90, p99)`` — via the same mergeable counting-histogram rule as
+    ``size_percentiles`` (smallest value with cum·100 ≥ n·p), over exact
+    integer cents.  The exchange moves types × distinct-cents rows
+    (value-range bounded, corpus-size independent); one task reads the
+    percentiles off the cumulative counts.  Oracle:
+    ``oracle.VALUE_PERCENTILES``."""
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    g = grouped(
+        read_events(sf_dir, ["event_type", "value"]).map_batches(
+            to_cents, batch_format="pyarrow"
+        ),
+        GroupSpec(keys=("event_type", "cents")),
+    )
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        if not len(df):  # dtype-stable empty result
+            return pa.schema(
+                [("event_type", pa.string()), ("n_events", pa.int64())]
+                + [(f"p{p}", pa.float64()) for p in VALUE_PCTS]
+            ).empty_table()
+        rows = []
+        for et, sub in df.sort_values(["event_type", "cents"]).groupby(
+            "event_type", sort=True
+        ):
+            cum = sub["cnt"].to_numpy().cumsum()
+            cents = sub["cents"].to_numpy()
+            n = int(cum[-1])
+            row = {"event_type": et, "n_events": np.int64(n)}
+            for p in VALUE_PCTS:
+                idx = int(np.searchsorted(cum * 100, n * p, side="left"))
+                row[f"p{p}"] = cents[idx] / 100.0
+            rows.append(row)
+        out = pd.DataFrame(
+            rows,
+            columns=["event_type", "n_events"]
+            + [f"p{p}" for p in VALUE_PCTS],
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        g.repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
+    )

@@ -1740,3 +1740,58 @@ def eval_overlap_by_source(sf_dir: str) -> Dataset:
         )
 
     return g.map_batches(post, batch_format="pandas").sort(["source"])
+
+
+QUALITY_PCTS = (10, 50, 90)
+
+
+def quality_deciles_by_source(sf_dir: str) -> Dataset:
+    """Exact per-source quality quantiles — ``(source, n_docs, p10, p50,
+    p90)`` — the distribution report behind per-source budget and mixing
+    decisions (``source_mixture`` weights, ``source_budget_allocation``
+    cutoffs).  Same mergeable counting-histogram rule as
+    ``size_percentiles`` (smallest q with cum·100 ≥ n·p) over the
+    session-memoized q_int table; the exchange moves sources ×
+    distinct-q_int rows (≤1e6 levels per source by construction — value-
+    range bounded), one task reads the quantiles off the cumulative
+    counts.  Reported as quality floats (q_int / 1e6 — the same division
+    on both engines).  Oracle: ``oracle.QUALITY_DECILES_BY_SOURCE``."""
+    from .agg import GroupSpec, grouped
+
+    g = grouped(
+        quality_int_table(sf_dir),
+        GroupSpec(keys=("source", "q_int")),
+    )
+
+    def fin(df: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        if not len(df):  # dtype-stable empty result
+            return pa.schema(
+                [("source", pa.string()), ("n_docs", pa.int64())]
+                + [(f"p{p}", pa.float64()) for p in QUALITY_PCTS]
+            ).empty_table()
+        rows = []
+        for src, sub in df.sort_values(["source", "q_int"]).groupby(
+            "source", sort=True
+        ):
+            cum = sub["cnt"].to_numpy().cumsum()
+            q = sub["q_int"].to_numpy()
+            n = int(cum[-1])
+            row = {"source": src, "n_docs": np.int64(n)}
+            for p in QUALITY_PCTS:
+                idx = int(np.searchsorted(cum * 100, n * p, side="left"))
+                row[f"p{p}"] = q[idx] / 1000000.0
+            rows.append(row)
+        out = pd.DataFrame(
+            rows,
+            columns=["source", "n_docs"] + [f"p{p}" for p in QUALITY_PCTS],
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        g.repartition(1)
+        .map_batches(fin, batch_format="pandas", batch_size=None)
+    )

@@ -112,6 +112,10 @@ _TABLE_SQL = {
     "eval_overlap_by_source": oracle.EVAL_OVERLAP_BY_SOURCE,
     "repeat_purchase_rate": oracle.REPEAT_PURCHASE_RATE,
     "conversion_lag_stats": oracle.CONVERSION_LAG_STATS,
+    "trending_event_types": oracle.TRENDING_EVENT_TYPES,
+    "rolling_wau": oracle.ROLLING_WAU,
+    "value_percentiles": oracle.VALUE_PERCENTILES,
+    "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
 }
 
 # round-3: the ANN family now has exact SQL oracles (index artifacts
