@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "text_near_dup_search": dedup.text_near_dup_search,  # LSH search
         "trending_event_types": ev.trending_event_types,  # per-day rank
         "rolling_wau": ev.rolling_wau,  # 7-day rolling distinct users
         "value_percentiles": ev.value_percentiles,  # exact cents histogram
@@ -292,4 +293,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_wau": oracle.ROLLING_WAU,
         "value_percentiles": oracle.VALUE_PERCENTILES,
         "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
+        "text_near_dup_search": oracle.TEXT_NEAR_DUP_SEARCH,
     }

@@ -551,14 +551,19 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
     return verify_candidates(sf_dir, _candidate_pairs_ds(sf_dir))
 
 
-def verify_candidates(sf_dir: str, cands: Dataset) -> Dataset:
+def verify_candidates(
+    sf_dir: str, cands: Dataset, threshold: float | None = None
+) -> Dataset:
     """The verify stage of :func:`_jaccard_pairs_uncached` over an ARBITRARY
     candidate-pair dataset (columns ``doc_a``, ``doc_b``) — split out so an
     adversarially large candidate set (hundreds of millions of pairs, whose
     carried shingle payloads would otherwise monopolize the object store in
     one wave) can be driven in bounded, resumable WAVES: partition the
     candidates by hash, call this per wave, and union/accumulate the
-    verified outputs.  ``stress.py --mode adversarial`` is the harness."""
+    verified outputs.  ``stress.py --mode adversarial`` is the harness.
+    ``threshold`` defaults to the dedup JACCARD_THRESHOLD; pass 0.0 to
+    score every candidate (the search path)."""
+    keep_at = JACCARD_THRESHOLD if threshold is None else threshold
 
     def pairs_hop1(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -661,7 +666,7 @@ def verify_candidates(sf_dir: str, cands: Dataset) -> Dataset:
         ).astype(np.int64)
         union = len_a + len_b_all[bpos] - inter
         j = inter / union
-        keep = j >= JACCARD_THRESHOLD
+        keep = j >= keep_at
         return pa.table(
             {
                 "doc_a": probe.column("peer").take(
@@ -1564,4 +1569,98 @@ def near_dup_source_matrix(sf_dir: str) -> Dataset:
 
     return g.map_batches(post, batch_format="pyarrow").sort(
         ["source_a", "source_b"]
+    )
+
+
+# ----------------------------------------------------- text similarity search
+N_TEXT_QUERIES = 20  # query documents = doc_id 0..19
+TEXT_SEARCH_K = 5
+
+
+def text_near_dup_search(sf_dir: str, k: int = TEXT_SEARCH_K) -> Dataset:
+    """Text-side similarity SEARCH (the MinHash-LSH counterpart of
+    ``knn_lsh``): for each query document (doc_id < N_TEXT_QUERIES), the
+    top-``k`` candidate documents sharing ≥1 LSH band, ranked by exact
+    word-3-gram Jaccard — ``(query_id, cand_id, jaccard)``.
+
+    Scale shape: the session-memoized banded candidate set is filtered to
+    query-involving pairs (both directions when two queries collide) and
+    scored through :func:`verify_candidates` at threshold 0 — the same
+    doc_id-bucketed two-hop join as the dedup verify, so only
+    query-involving pairs carry payloads; the per-query top-k is a local
+    per-block prune + one bounded task (queries × k ordering — the knn
+    finish contract: the query batch is small by construction).  Jaccard
+    is 6dp-FLOORED BEFORE ranking on both engines, so kernel ulps cannot
+    reorder the hit list (oracle.TEXT_NEAR_DUP_SEARCH)."""
+
+    def qpairs(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a")
+        b = t.column("doc_b")
+        parts = []
+        for q, c in ((a, b), (b, a)):
+            mask = pc.less(q, N_TEXT_QUERIES)
+            parts.append(
+                pa.table(
+                    {"doc_a": pc.filter(q, mask), "doc_b": pc.filter(c, mask)}
+                )
+            )
+        return pa.concat_tables(parts)
+
+    scored = verify_candidates(
+        sf_dir,
+        _candidate_pairs_ds(sf_dir).map_batches(
+            qpairs, batch_format="pyarrow"
+        ),
+        threshold=0.0,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("cand_id", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # no query-involving candidates: schema-stable empty
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype="int64"),
+                    "doc_b": pd.Series([], dtype="int64"),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        df = df.sort_values(
+            ["doc_a", "jaccard", "doc_b"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return df.groupby("doc_a", sort=False).head(k)
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        top = prune(df)
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "query_id": top["doc_a"].to_numpy(),
+                    "cand_id": top["doc_b"].to_numpy(),
+                    "jaccard": top["jaccard"].to_numpy(),
+                }
+            ),
+            preserve_index=False,
+        ).replace_schema_metadata(None)
+
+    # bounded by construction (blocks × queries × k rows): materialize so
+    # the emptiness probe and the finish share one execution of the chain
+    pruned = scored.map_batches(prune, batch_format="pandas").materialize()
+    if pruned.count() == 0:
+        # zero-block Datasets lose their schema through to_pandas (Ray
+        # returns a column-less frame); hand back a TYPED empty frame
+        # instead (the driver contract accepts DataFrame returns)
+        return out_schema.empty_table().to_pandas()
+    return pruned.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None
     )

@@ -116,6 +116,7 @@ _TABLE_SQL = {
     "rolling_wau": oracle.ROLLING_WAU,
     "value_percentiles": oracle.VALUE_PERCENTILES,
     "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
+    "text_near_dup_search": oracle.TEXT_NEAR_DUP_SEARCH,
 }
 
 # round-3: the ANN family now has exact SQL oracles (index artifacts
