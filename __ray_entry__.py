@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "session_duration_percentiles": ev.session_duration_percentiles,
         "text_near_dup_search": dedup.text_near_dup_search,  # LSH search
         "trending_event_types": ev.trending_event_types,  # per-day rank
         "rolling_wau": ev.rolling_wau,  # 7-day rolling distinct users
@@ -294,4 +295,5 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": oracle.VALUE_PERCENTILES,
         "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
         "text_near_dup_search": oracle.TEXT_NEAR_DUP_SEARCH,
+        "session_duration_percentiles": oracle.SESSION_DURATION_PERCENTILES,
     }

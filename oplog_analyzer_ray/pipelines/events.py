@@ -1454,3 +1454,47 @@ def value_percentiles(sf_dir: str) -> Dataset:
         g.repartition(1)
         .map_batches(fin, batch_format="pandas", batch_size=None)
     )
+
+
+def session_duration_percentiles(sf_dir: str) -> Dataset:
+    """Exact session-duration distribution: one row ``(n_sessions, p50_s,
+    p90_s, p99_s)`` over whole-second session durations (floor of the
+    exact integer-microsecond span — seconds granularity is what bounds
+    the histogram: distinct whole-second durations ≤ the session-gap
+    ceiling, corpus-size independent).  Same counting-histogram rule as
+    ``size_percentiles``.  The corpus-sized work is sessionization's
+    bucketed exchange; this adds a (dur_s → count) grouped() histogram
+    and a one-task read-off.  Oracle:
+    ``oracle.SESSION_DURATION_PERCENTILES``."""
+    def dur_rows(df: pd.DataFrame) -> pd.DataFrame:
+        dur_us = (
+            df["end_ts"].astype("int64") - df["start_ts"].astype("int64")
+        )
+        return pd.DataFrame({"dur_s": (dur_us // 1_000_000).astype("int64")})
+
+    hist = grouped(
+        sessionization(sf_dir).map_batches(dur_rows, batch_format="pandas"),
+        GroupSpec(keys=("dur_s",)),
+    )
+
+    def fin(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.schema(
+                [("n_sessions", pa.int64())]
+                + [(f"p{p}_s", pa.int64()) for p in (50, 90, 99)]
+            ).empty_table()
+        df = df.sort_values("dur_s")
+        cum = df["cnt"].to_numpy().cumsum()
+        dur = df["dur_s"].to_numpy()
+        n = int(cum[-1])
+        out = {"n_sessions": np.array([n], np.int64)}
+        for p in (50, 90, 99):
+            idx = int(np.searchsorted(cum * 100, n * p, side="left"))
+            out[f"p{p}_s"] = np.array([dur[idx]], np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame(out), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return hist.repartition(1).map_batches(
+        fin, batch_format="pandas", batch_size=None
+    )

@@ -117,6 +117,7 @@ _TABLE_SQL = {
     "value_percentiles": oracle.VALUE_PERCENTILES,
     "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
     "text_near_dup_search": oracle.TEXT_NEAR_DUP_SEARCH,
+    "session_duration_percentiles": oracle.SESSION_DURATION_PERCENTILES,
 }
 
 # round-3: the ANN family now has exact SQL oracles (index artifacts
