@@ -151,7 +151,26 @@ def _kmv_hashes(uniq) -> "np.ndarray":
 
 def sessionization(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     """Per-user gap sessions: (user_id, session_id, n_events, start_ts,
-    end_ts, sum_value) with session_id dense from 0 per user."""
+    end_ts, sum_value) with session_id dense from 0 per user.
+
+    Session-memoized under the shared chain-cache byte gate (streams above
+    it) — session_stats and session_duration_percentiles consume the same
+    table, so a sweep pays the bucketed exchange ONCE, not per consumer.
+    An explicit ``n_buckets`` (the invariance tests) bypasses the cache."""
+    from .corpus import corpus_bytes
+    from .dedup import _chain_cached
+
+    if n_buckets is None:
+        return _chain_cached(
+            sf_dir,
+            "sessions",
+            lambda: _sessionization_uncached(sf_dir, None),
+            nbytes=corpus_bytes(sf_dir, "events"),
+        )
+    return _sessionization_uncached(sf_dir, n_buckets)
+
+
+def _sessionization_uncached(sf_dir: str, n_buckets: int | None) -> Dataset:
     buckets = n_buckets or session_buckets(sf_dir)
 
     def sessions(df: pd.DataFrame) -> pd.DataFrame:

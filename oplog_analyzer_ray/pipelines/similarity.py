@@ -978,7 +978,7 @@ def _kmeans_seeds(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _assign_cols(
-    df: pd.DataFrame, cids: np.ndarray, cn: np.ndarray
+    df: pd.DataFrame, cids: np.ndarray, craw: np.ndarray, cn: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized spherical-k-means assignment for one batch: 6dp-floored
     cosine to every centroid, argmax with ties to the SMALLEST centroid id
@@ -986,15 +986,17 @@ def _assign_cols(
     rule as the oracle's ``ORDER BY f DESC, cid`` row_number).  Flooring
     BEFORE the argmax is what makes the assignment itself cross-engine
     deterministic: sub-1e-6 kernel ulps can no longer flip the winner.
-    The vec==centroid self-pair is pinned to exactly 1.0 (mathematically
-    exact; kernel round-off would otherwise floor it to 0.999999 on one
-    engine and 1.0 on the other)."""
+    Pairs whose vectors are BITWISE EQUAL to a centroid (the centroid
+    itself, and any exact duplicate of it) pin to exactly 1.0 — the
+    mathematically exact value; kernel round-off would otherwise floor
+    them to 0.999999 on one engine and 1.0 on the other.  (Parallel but
+    UNEQUAL vectors remain the shared 1e-6-boundary risk class every
+    cosine surface in this repo accepts.)"""
     m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     cos = np.floor((mn @ cn.T) * 1e6) / 1e6
-    vid = df["vec_id"].to_numpy()
-    for col, c in enumerate(cids):  # k-bounded loop, vectorized body
-        cos[vid == c, col] = 1.0
+    for col in range(len(cids)):  # k-bounded loop, vectorized body
+        cos[np.all(m == craw[col], axis=1), col] = 1.0
     j = np.argmax(cos, axis=1)
     return m, j, cos[np.arange(len(j)), j]
 
@@ -1008,11 +1010,11 @@ def kmeans_assign(sf_dir: str) -> Dataset:
     ``oracle.KMEANS_ASSIGN``."""
     cids, C = _kmeans_seeds(sf_dir)
     cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    ref = ray.put((cids.astype(np.int64), cn))
+    ref = ray.put((cids.astype(np.int64), C, cn))
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
-        ids, cnorm = ray.get(ref)
-        _, j, best = _assign_cols(df, ids, cnorm)
+        ids, craw, cnorm = ray.get(ref)
+        _, j, best = _assign_cols(df, ids, craw, cnorm)
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].to_numpy(),
@@ -1048,11 +1050,11 @@ def kmeans_refine(sf_dir: str) -> Dataset:
     cids, C = _kmeans_seeds(sf_dir)
     cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     k, d = C.shape
-    ref = ray.put((cids.astype(np.int64), cn))
+    ref = ray.put((cids.astype(np.int64), C, cn))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids, cnorm = ray.get(ref)
-        m, j, _ = _assign_cols(df, ids, cnorm)
+        ids, craw, cnorm = ray.get(ref)
+        m, j, _ = _assign_cols(df, ids, craw, cnorm)
         kk, dd = cnorm.shape
         order = np.argsort(j, kind="stable")
         present = np.unique(j)

@@ -146,6 +146,17 @@ _vecs = st.lists(
 )
 
 
+def _int_parallel(u, v) -> bool:
+    """Exact integer parallelism test (cross-ratios equal): cos(u,v) = ±1.
+    Such pairs sit ON the 1e-6 floor boundary (kernel ulps decide which
+    side) — the shared risk class every cosine surface accepts, EXCEPT
+    bitwise-equal vectors, which the engine pins to exactly 1.0."""
+    n = len(u)
+    return all(
+        u[i] * v[j] == u[j] * v[i] for i in range(n) for j in range(i + 1, n)
+    )
+
+
 def test_kmeans_assign_hypothesis(tmp_path_factory):
     from oplog_analyzer_ray.pipelines.similarity import (
         KMEANS_K,
@@ -158,6 +169,15 @@ def test_kmeans_assign_hypothesis(tmp_path_factory):
     def check(vec_rows):
         m = np.array(vec_rows, dtype=np.float64)
         m[np.linalg.norm(m, axis=1) == 0] = [1.0, 0.0, 0.0, 0.0]
+        # PARALLEL-but-unequal (vec, seed) pairs sit exactly on the floor
+        # boundary — out of contract (see _int_parallel); duplicates of a
+        # seed stay in (the engine pins them to 1.0)
+        for i in range(len(m)):
+            for s in range(min(KMEANS_K, len(m))):
+                if i != s and _int_parallel(m[i], m[s]) and not np.array_equal(
+                    m[i], m[s]
+                ):
+                    m[i] = m[s]  # collapse to the exact-duplicate case
         tmp = tmp_path_factory.mktemp("km")
         pq.write_table(
             pa.table(
@@ -177,9 +197,8 @@ def test_kmeans_assign_hypothesis(tmp_path_factory):
         mn = mm / np.linalg.norm(mm, axis=1, keepdims=True)
         cn = mn[:KMEANS_K]
         cos = np.floor((mn @ cn.T) * 1e6) / 1e6
-        for i in range(len(mm)):
-            if i < KMEANS_K:
-                cos[i, i] = 1.0
+        for col in range(cn.shape[0]):
+            cos[np.all(mm == mm[col], axis=1), col] = 1.0
         j = np.argmax(cos, axis=1)
         assert got["cluster"].tolist() == j.tolist()
         assert got["cos"].tolist() == cos[np.arange(len(mm)), j].tolist()
