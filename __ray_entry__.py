@@ -46,6 +46,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
         # registered below the window is never oracle-checked. ---
+        "substring_dedup": dedup.substring_dedup,  # exact k-token windows
+        "prefix_dup_groups": dedup.prefix_dup_groups,  # shared page heads
+        "bigram_pmi": text.bigram_pmi,  # exact-integer collocations
+        "minhash_est_error": dedup.minhash_est_error,  # sketch calibration
+        "event_transitions": ev.event_transitions,  # Markov matrix
+        "user_churn": ev.user_churn,  # whole-day inactivity vs max ts
+        "bounce_rate": ev.bounce_rate,  # per-day single-event sessions
         "session_duration_percentiles": ev.session_duration_percentiles,
         "text_near_dup_search": dedup.text_near_dup_search,  # LSH search
         "trending_event_types": ev.trending_event_types,  # per-day rank
@@ -296,4 +303,11 @@ def oracle_sql() -> dict[str, str]:
         "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
         "text_near_dup_search": oracle.TEXT_NEAR_DUP_SEARCH,
         "session_duration_percentiles": oracle.SESSION_DURATION_PERCENTILES,
+        "substring_dedup": oracle.SUBSTRING_DEDUP,
+        "prefix_dup_groups": oracle.PREFIX_DUP_GROUPS,
+        "bigram_pmi": oracle.BIGRAM_PMI,
+        "minhash_est_error": oracle.MINHASH_EST_ERROR,
+        "event_transitions": oracle.EVENT_TRANSITIONS,
+        "user_churn": oracle.USER_CHURN,
+        "bounce_rate": oracle.BOUNCE_RATE,
     }

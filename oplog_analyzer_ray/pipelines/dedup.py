@@ -1664,3 +1664,295 @@ def text_near_dup_search(sf_dir: str, k: int = TEXT_SEARCH_K) -> Dataset:
     return pruned.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None
     )
+
+
+# --------------------------------------------------- exact substring dedup
+SUBSTR_WINDOW = 5  # tokens per exact window (Lee et al. 2022 style)
+
+
+def substring_dedup(sf_dir: str) -> Dataset:
+    """Exact duplicated token-window detection (the hashed-window analogue
+    of suffix-array substring dedup, Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every
+    ``SUBSTR_WINDOW``-token window shared by >= 2 distinct documents, as
+    ``(whash, n_docs, n_occ, min_doc_id, max_doc_id)`` ordered by the
+    window hash.  Documents shorter than the window contribute nothing
+    (mirrored in SQL).
+
+    Scale shape: the window stream is inherently all-to-all (any doc can
+    share a window with any other), so the exchange is the algorithm — but
+    three bounds keep it 100-TB-shaped: (1) windows hash to fixed-width
+    md5 hex BEFORE they move (one md5 per DISTINCT window per batch, the
+    minhash trick — boilerplate windows hash once); (2) each batch
+    collapses to one (whash, doc_id, n) partial per distinct pair, so
+    repeats never re-ship; (3) the two-level grouped() merge moves
+    (whash, doc_id) rows once and (whash) rows once, both
+    dictionary-encoded through the task exchange.  Oracle:
+    ``oracle.SUBSTRING_DEDUP``."""
+    w = SUBSTR_WINDOW
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "whash": pd.Series([], dtype="object"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        toks = df["text"].str.split(" ")
+        counts = toks.str.len().to_numpy()
+        flat = toks.explode().to_numpy()
+        row_of = np.repeat(np.arange(len(df), dtype=np.int64), counts)
+        if len(flat) < w:
+            return empty
+        # window at position j is valid iff j+w-1 is still the same row
+        valid = row_of[: -(w - 1)] == row_of[w - 1 :]
+        win = flat[: -(w - 1)][valid]
+        for k in range(1, w):
+            tail = flat[k : len(flat) - (w - 1) + k] if k < w - 1 else flat[k:]
+            win = win + " " + tail[valid]
+        rows = row_of[: -(w - 1)][valid]
+        if not len(win):
+            return empty
+        inv, uniq = pd.factorize(win)  # one md5 per DISTINCT window
+        hexes = np.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in uniq], dtype=object
+        )
+        sub = pd.DataFrame(
+            {
+                "whash": hexes[inv],
+                "doc_id": df["doc_id"].to_numpy()[rows],
+            }
+        )
+        agg = sub.groupby(["whash", "doc_id"], sort=False).size()
+        out = agg.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    per_doc = grouped(
+        partials,
+        GroupSpec(keys=("whash", "doc_id"), count=False, sum_cols=("n",)),
+    )
+    g = grouped(
+        per_doc,
+        GroupSpec(
+            keys=("whash",),
+            count=True,
+            sum_cols=("sum_n",),
+            min_cols=("doc_id",),
+            max_cols=("doc_id",),
+        ),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("cnt"), 2))
+        return pa.table(
+            {
+                "whash": t.column("whash"),
+                "n_docs": t.column("cnt"),
+                "n_occ": t.column("sum_sum_n"),
+                "min_doc_id": t.column("min_doc_id"),
+                "max_doc_id": t.column("max_doc_id"),
+            }
+        )
+
+    return g.map_batches(fin, batch_format="pyarrow").sort(["whash"])
+
+
+# ----------------------------------------------------- prefix dup grouping
+PREFIX_TOKENS = 8  # shared-head length (boilerplate page heads)
+
+
+def prefix_dup_groups(sf_dir: str) -> Dataset:
+    """Documents sharing their first ``PREFIX_TOKENS`` tokens (the
+    crawl-boilerplate "same page head" family):
+    ``(phash, n_docs, min_doc_id, max_doc_id)`` for groups of >= 2,
+    ordered by the prefix hash.  One fixed-width hash row per document
+    moves — cheaper than any near-dup pass, which is why head-dedup runs
+    FIRST in crawl pipelines.  Split semantics mirror the oracle exactly:
+    split on single space, first 8 elements, rejoin (a <8-token document
+    keys on its whole text).  Oracle: ``oracle.PREFIX_DUP_GROUPS``."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "phash": pd.Series([], dtype="object"),
+                    "doc_id": pd.Series([], dtype="int64"),
+                }
+            )
+        pre = df["text"].str.split(" ").str[:PREFIX_TOKENS].str.join(" ")
+        inv, uniq = pd.factorize(pre)
+        hexes = np.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in uniq], dtype=object
+        )
+        return pd.DataFrame(
+            {"phash": hexes[inv], "doc_id": df["doc_id"].to_numpy()}
+        )
+
+    g = grouped(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(
+            keys=("phash",),
+            count=True,
+            min_cols=("doc_id",),
+            max_cols=("doc_id",),
+        ),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("cnt"), 2))
+        return pa.table(
+            {
+                "phash": t.column("phash"),
+                "n_docs": t.column("cnt"),
+                "min_doc_id": t.column("min_doc_id"),
+                "max_doc_id": t.column("max_doc_id"),
+            }
+        )
+
+    return g.map_batches(fin, batch_format="pyarrow").sort(["phash"])
+
+
+# ------------------------------------------------ minhash estimator QA
+_EST_SCHEMA = pa.schema(
+    [
+        ("join_id", pa.int64()),
+        ("peer", pa.int64()),
+        ("sig", pa.list_(pa.int64())),
+        ("sig_peer", pa.list_(pa.int64())),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+_EMPTY_EST = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "est_matches": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64()),
+    }
+)
+
+
+def minhash_est_error(sf_dir: str) -> Dataset:
+    """Estimator QA over the verified near-dup pairs: per pair the number
+    of agreeing MinHash components (``est_matches`` of ``MINHASH_K`` — the
+    unbiased Jaccard estimator is est/K) next to the exact Jaccard, so the
+    sketch's calibration is measurable on the live corpus.
+
+    Same two-hop doc_id-bucketed join shape as the verify stage
+    (:func:`verify_candidates`), but the carried payload is the FIXED
+    16-int signature instead of a shingle set, and both inputs are the
+    session-memoized chain stages — a sweep pays neither the signature
+    pass nor the LSH->verify chain again.  Oracle:
+    ``oracle.MINHASH_EST_ERROR``."""
+    from .agg import hash_bucket_apply
+
+    k = MINHASH_K
+    sig_cols = [f"mh_{i:02d}" for i in range(k)]
+
+    def sig_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrs = np.stack(
+            [t.column(c).to_numpy(zero_copy_only=False) for c in sig_cols],
+            axis=1,
+        )
+        return pa.table(
+            {
+                "join_id": t.column("doc_id"),
+                "peer": pa.array(np.full(n, -1, np.int64)),
+                "sig": pa.array(list(arrs), pa.list_(pa.int64())),
+                "sig_peer": pa.nulls(n, pa.list_(pa.int64())),
+                "jaccard": pa.nulls(n, pa.float64()),
+            },
+            schema=_EST_SCHEMA,
+        )
+
+    def pairs_hop1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "join_id": t.column("doc_a"),
+                "peer": t.column("doc_b"),
+                "sig": pa.nulls(n, pa.list_(pa.int64())),
+                "sig_peer": pa.nulls(n, pa.list_(pa.int64())),
+                "jaccard": t.column("jaccard"),
+            },
+            schema=_EST_SCHEMA,
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        build_mask = pc.equal(group.column("peer"), -1)
+        build = group.filter(build_mask)
+        probe = group.filter(pc.invert(build_mask))
+        n = probe.num_rows
+        if n == 0:
+            return _EST_SCHEMA.empty_table()
+        bpos = _index_in_strict(
+            probe.column("join_id"), build.column("join_id"),
+            "minhash_est_error.attach",
+        )
+        return pa.table(
+            {
+                "join_id": probe.column("peer"),
+                "peer": probe.column("join_id"),
+                "sig": pa.nulls(n, pa.list_(pa.int64())),
+                "sig_peer": build.column("sig").take(bpos),
+                "jaccard": probe.column("jaccard"),
+            },
+            schema=_EST_SCHEMA,
+        )
+
+    def score(group: pa.Table) -> pa.Table:
+        build_mask = pc.equal(group.column("peer"), -1)
+        build = group.filter(build_mask)
+        probe = group.filter(pc.invert(build_mask))
+        n = probe.num_rows
+        if n == 0:
+            return _EMPTY_EST
+        bpos = _index_in_strict(
+            probe.column("join_id"), build.column("join_id"),
+            "minhash_est_error.score",
+        )
+        sa = (
+            pc.list_flatten(probe.column("sig_peer").combine_chunks())
+            .to_numpy()
+            .reshape(n, k)
+        )
+        sb_all = pc.list_flatten(
+            build.column("sig").combine_chunks()
+        ).to_numpy().reshape(build.num_rows, k)
+        sb = sb_all[bpos.to_numpy(zero_copy_only=False)]
+        est = (sa == sb).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "doc_a": probe.column("peer"),
+                "doc_b": probe.column("join_id"),
+                "est_matches": pa.array(est),
+                "jaccard": probe.column("jaccard"),
+            }
+        )
+
+    buckets = dyn_buckets(MERGE_BUCKETS)
+    exchange = _use_exchange(sf_dir)
+    sigs = minhash_signatures(sf_dir).map_batches(
+        sig_side, batch_format="pyarrow"
+    )
+    pairs = _jaccard_pairs(sf_dir).map_batches(
+        pairs_hop1, batch_format="pyarrow"
+    )
+    hop1 = hash_bucket_apply(
+        sigs.union(pairs), ("join_id",), attach, buckets,
+        use_exchange=exchange,
+    )
+    return hash_bucket_apply(
+        sigs.union(hop1), ("join_id",), score, buckets,
+        use_exchange=exchange, empty=_EMPTY_EST,
+    ).sort(["doc_a", "doc_b"])

@@ -1517,3 +1517,135 @@ def session_duration_percentiles(sf_dir: str) -> Dataset:
     return hist.repartition(1).map_batches(
         fin, batch_format="pandas", batch_size=None
     )
+
+
+CHURN_DAYS = 1  # inactive when last event >= this many whole days old
+# (the synthetic corpora span ~30 days with near-daily user activity, so a
+# week-scale threshold would select nothing at any sf; the operator is the
+# same shape at any threshold)
+
+
+def user_churn(sf_dir: str) -> Dataset:
+    """Churned users: ``(user_id, last_ts, days_inactive)`` for every user
+    whose last event is at least ``CHURN_DAYS`` whole days before the
+    corpus's global max timestamp — the batch analogue of the reference's
+    lag watermark (TailCommand.java:750-763 reports how far behind a
+    stream is; this reports how far behind each USER is).
+
+    Scale shape: one grouped() pass collapses events to one
+    ``(user_id, max_ts)`` row per user (the exchange moves per-block
+    partials, bounded by users x blocks, never raw events); the global max
+    is a scalar tree-reduce over that already-collapsed table; the filter
+    then runs distributed against the broadcast scalar.  ``days_inactive``
+    is exact integer microseconds floor-divided to whole days on both
+    engines.  Oracle: ``oracle.USER_CHURN``."""
+    last = grouped(
+        read_events(sf_dir, ["user_id", "ts"]),
+        GroupSpec(keys=("user_id",), count=False, max_cols=("ts",)),
+    )
+    mx = last.max("max_ts")  # scalar tree-reduce; O(1) driver state
+    mx_us = int(pd.Timestamp(mx).value // 1000)
+
+    def fin(t: pa.Table) -> pa.Table:
+        last_us = pc.cast(t.column("max_ts"), pa.int64())
+        days = pc.divide(pc.subtract(mx_us, last_us), 86_400_000_000)
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "last_ts": t.column("max_ts"),
+                "days_inactive": days,
+            }
+        )
+        return out.filter(pc.greater_equal(days, CHURN_DAYS))
+
+    return last.map_batches(fin, batch_format="pyarrow").sort(["user_id"])
+
+
+def bounce_rate(sf_dir: str) -> Dataset:
+    """Per-day session bounce counts: ``(day, n_sessions, n_bounces)`` by
+    session START day, a bounce being a single-event session.  Counts stay
+    integers end-to-end (the rate is the consumer's division) so parity is
+    bit-exact.  Reuses the session-memoized :func:`sessionization` table —
+    a sweep pays the user-bucketed exchange once; this adds only a tiny
+    (day -> counts) grouped() rollup.  Oracle: ``oracle.BOUNCE_RATE``."""
+    def rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.floor_temporal(t.column("start_ts"), unit="day"),
+                "bounce": pc.cast(
+                    pc.equal(t.column("n_events"), 1), pa.int64()
+                ),
+            }
+        )
+
+    g = grouped(
+        sessionization(sf_dir).map_batches(rows, batch_format="pyarrow"),
+        GroupSpec(keys=("day",), count=True, sum_cols=("bounce",)),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t.column("day"),
+                "n_sessions": t.column("cnt"),
+                "n_bounces": t.column("sum_bounce"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["day"])
+
+
+def event_transitions(sf_dir: str) -> Dataset:
+    """First-order Markov transition counts: ``(from_type, to_type, cnt)``
+    over consecutive same-user events ordered by ``(ts, event_id)`` — the
+    path-mining primitive behind ``top_event_paths`` generalized to the
+    full transition matrix (bounded at |event types|^2 rows).
+
+    Same scale shape as :func:`inter_event_gaps`: the user-bucketed
+    exchange co-locates each user's events, the bucket task pairs
+    consecutive rows vectorized (shift + same-user mask) and collapses to
+    per-bucket transition partials, grouped() merges them.  Oracle:
+    ``oracle.EVENT_TRANSITIONS``."""
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "from_type": pd.Series([], dtype="object"),
+                "to_type": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        et = df["event_type"].to_numpy()
+        sub = pd.DataFrame(
+            {"from_type": et[:-1][same], "to_type": et[1:][same]}
+        )
+        if not len(sub):
+            return empty
+        agg = sub.groupby(["from_type", "to_type"], sort=False).size()
+        out = agg.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    ev = read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+    per_bucket = _user_bucket_apply(sf_dir, ev, pairs, session_buckets(sf_dir))
+    g = grouped(
+        per_bucket,
+        GroupSpec(keys=("from_type", "to_type"), count=False, sum_cols=("n",)),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_type": t.column("from_type"),
+                "to_type": t.column("to_type"),
+                "cnt": t.column("sum_n"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["from_type", "to_type"]
+    )

@@ -1795,3 +1795,114 @@ def quality_deciles_by_source(sf_dir: str) -> Dataset:
         g.repartition(1)
         .map_batches(fin, batch_format="pandas", batch_size=None)
     )
+
+
+# ------------------------------------------------------------ bigram PMI
+PMI_HEAD = 200  # PMI is scored over the top-M bigrams by count
+PMI_TOPK = 50
+
+
+def bigram_pmi(sf_dir: str) -> Dataset:
+    """Collocation mining: the ``PMI_TOPK`` strongest bigrams by pointwise
+    mutual information among the ``PMI_HEAD`` most frequent bigrams —
+    ``(ngram, cnt, score)`` where ``score`` is the EXACT integer-scaled
+    PMI ratio ``(c_xy * N_uni^2 * 1e6) // (N_bi * c_x * c_y)`` (the inside
+    of the log; monotone in PMI, so the ranking is the PMI ranking).  The
+    all-integer score sidesteps cross-engine ``log``/division ulps
+    entirely — the same reason the repo's averages floor scaled integers.
+
+    Scale shape: unigram and bigram counts are both vocabulary-sized
+    DISTRIBUTED grouped() tables (per-batch partials collapse repeats
+    before the exchange); only the ``PMI_HEAD`` head — a CONSTANT — and
+    the <= 2*PMI_HEAD unigram rows it references ever reach the driver,
+    the same bounded-head contract as ``tfidf_topk``'s df-floor.  Oracle:
+    ``oracle.BIGRAM_PMI``."""
+    import pyarrow as pa
+
+    from .agg import GroupSpec, grouped, topk
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        toks = df["text"].str.split(" ").explode()
+        agg = toks.groupby(toks, sort=False).size()
+        return pd.DataFrame(
+            {
+                "token": agg.index.to_numpy(),
+                "cnt": agg.to_numpy().astype("int64"),
+            }
+        )
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        lens = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    "ngram": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        flat = toks.explode().to_numpy()
+        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+        valid = doc_idx[:-1] == doc_idx[1:]
+        grams = flat[:-1][valid] + " " + flat[1:][valid]
+        g = pd.Series(grams)
+        agg = g.groupby(g, sort=False).size()
+        return pd.DataFrame(
+            {
+                "ngram": agg.index.to_numpy(),
+                "cnt": agg.to_numpy().astype("int64"),
+            }
+        )
+
+    docs = read_documents(sf_dir, ["text"])
+    uni = grouped(
+        docs.map_batches(uni_partial, batch_format="pandas"),
+        GroupSpec(keys=("token",), count=False, sum_cols=("cnt",)),
+    )
+    bi = grouped(
+        docs.map_batches(bi_partial, batch_format="pandas"),
+        GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt",)),
+    )
+    n_uni = uni.sum("sum_cnt")  # exact int scalar tree-reduce
+    n_bi = bi.sum("sum_cnt")
+    head = topk(
+        bi, PMI_HEAD, [("sum_cnt", "descending"), ("ngram", "ascending")]
+    ).take_all()  # bounded: PMI_HEAD rows
+    w1w2 = [r["ngram"].split(" ") for r in head]
+    needed = sorted({w for pair in w1w2 for w in pair})
+    need_ref = ray.put(set(needed))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["token"].isin(ray.get(need_ref))
+        return df[keep]
+
+    ucnt = {
+        r["token"]: int(r["sum_cnt"])
+        for r in uni.map_batches(pick, batch_format="pandas").take_all()
+    }  # bounded: <= 2*PMI_HEAD rows
+    rows = []
+    for r, (w1, w2) in zip(head, w1w2):
+        cxy = int(r["sum_cnt"])
+        score = (cxy * int(n_uni) * int(n_uni) * 1_000_000) // (
+            int(n_bi) * ucnt[w1] * ucnt[w2]
+        )  # exact arbitrary-precision int, result fits int64
+        rows.append((r["ngram"], cxy, score))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    rows = rows[:PMI_TOPK]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "ngram": pa.array([r[0] for r in rows], pa.string()),
+                "cnt": pa.array([r[1] for r in rows], pa.int64()),
+                "score": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )

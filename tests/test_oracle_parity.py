@@ -118,6 +118,13 @@ _TABLE_SQL = {
     "quality_deciles_by_source": oracle.QUALITY_DECILES_BY_SOURCE,
     "text_near_dup_search": oracle.TEXT_NEAR_DUP_SEARCH,
     "session_duration_percentiles": oracle.SESSION_DURATION_PERCENTILES,
+    "substring_dedup": oracle.SUBSTRING_DEDUP,
+    "prefix_dup_groups": oracle.PREFIX_DUP_GROUPS,
+    "bigram_pmi": oracle.BIGRAM_PMI,
+    "minhash_est_error": oracle.MINHASH_EST_ERROR,
+    "event_transitions": oracle.EVENT_TRANSITIONS,
+    "user_churn": oracle.USER_CHURN,
+    "bounce_rate": oracle.BOUNCE_RATE,
 }
 
 # round-3: the ANN family now has exact SQL oracles (index artifacts
