@@ -195,6 +195,8 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             extra["quality_budget_selection"] = text.quality_budget_selection
             extra["source_budget_allocation"] = text.source_budget_allocation
             extra["split_leakage_report"] = curate.split_leakage_report
+            extra["substring_dedup"] = dedup.substring_dedup
+            extra["bigram_pmi"] = text.bigram_pmi
         extra["conv_profiles"] = core.conv_profiles
         if os.path.exists(corpus_path(sf_dir, "embeddings")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce
@@ -204,6 +206,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         if os.path.exists(corpus_path(sf_dir, "events")):
             extra["sessionization"] = evmod.sessionization
             extra["conversion_lag_stats"] = evmod.conversion_lag_stats
+            extra["event_transitions"] = evmod.event_transitions
         for qname, fn in extra.items():
             t0 = time.monotonic()
             res = fn(sf_dir)

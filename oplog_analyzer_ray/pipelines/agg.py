@@ -237,6 +237,8 @@ def _split_task(
     them as separate objects via ``num_returns``), each with its repeated
     string key columns dictionary-encoded so the exchange moves int indices
     instead of full strings."""
+    if t.num_columns == 0:  # schema-less empties carry no key columns
+        return [t] * buckets
     t = _pick_spec(t, spec_idx, cols)
     b = _bucket_np(t, keys, buckets)
     order = np.argsort(b, kind="stable")
@@ -251,14 +253,22 @@ def _split_task(
 
 
 @ray.remote
-def _merge_task(spec: GroupSpec, names: dict, *shards: pa.Table) -> pa.Table:
+def _merge_task(
+    spec: GroupSpec, names: dict, empty: pa.Table | None, *shards: pa.Table
+) -> pa.Table:
     """Reduce side: every partial of a key lands in exactly one bucket, so
     one vectorized arrow ``group_by`` over the concatenated shards is the
     exact merge.  Dictionary key columns (from the split-side encoding)
     decode back to plain strings first — each shard carries its own
-    dictionary, so a plain concat would need a unification pass anyway."""
+    dictionary, so a plain concat would need a unification pass anyway.
+    Schema-LESS empty shards (Ray drops the schema of all-empty map
+    outputs) are filtered; when NOTHING remains, the caller-supplied
+    final-schema ``empty`` table is the result."""
+    usable = [s for s in shards if s.num_columns]
+    if not usable and empty is not None:
+        return empty
     out = _combine_partials(
-        pa.concat_tables([_decode_exchange(s) for s in shards]), spec
+        pa.concat_tables([_decode_exchange(s) for s in usable]), spec
     )
     return out.rename_columns([names.get(c, c) for c in out.column_names])
 
@@ -269,13 +279,18 @@ def _concat_merge_task(
     names: dict,
     spec_idx: int | None,
     cols: list[str] | None,
+    empty: pa.Table | None,
     *blocks: pa.Table,
 ) -> pa.Table:
     """Small-cardinality path: merge ALL partials in one task (exact — every
     partial is in the concat).  A raw task instead of a
     repartition(1)+map_batches Dataset job: grouped() runs per query, and
-    ~0.3 s of streaming-executor startup per tiny merge is pure Amdahl tax."""
-    t = pa.concat_tables([_pick_spec(b, spec_idx, cols) for b in blocks])
+    ~0.3 s of streaming-executor startup per tiny merge is pure Amdahl tax.
+    Schema-less empty blocks are filtered (see ``_merge_task``)."""
+    usable = [b for b in blocks if b.num_columns]
+    if not usable and empty is not None:
+        return empty
+    t = pa.concat_tables([_pick_spec(b, spec_idx, cols) for b in usable])
     out = _combine_partials(t, spec)
     return out.rename_columns([names.get(c, c) for c in out.column_names])
 
@@ -289,6 +304,7 @@ def _exchange_merge(
     n_rows: int | None = None,
     spec_idx: int | None = None,
     cols: list[str] | None = None,
+    empty: pa.Table | None = None,
 ) -> Dataset:
     """Final exact merge of MATERIALIZED compacted partials — plan picked by
     cardinality:
@@ -321,7 +337,11 @@ def _exchange_merge(
 
     if refs and n_rows <= SMALL_MERGE_ROWS:
         return _rd.from_arrow_refs(
-            [_concat_merge_task.remote(spec, names, spec_idx, cols, *refs)]
+            [
+                _concat_merge_task.remote(
+                    spec, names, spec_idx, cols, empty, *refs
+                )
+            ]
         )
 
     if refs and len(refs) * buckets <= MAX_EXCHANGE_FANOUT:
@@ -332,7 +352,7 @@ def _exchange_merge(
             for r in refs
         ]
         merged = [
-            _merge_task.remote(spec, names, *[s[b] for s in split_out])
+            _merge_task.remote(spec, names, empty, *[s[b] for s in split_out])
             for b in range(buckets)
         ]
         return _rd.from_arrow_refs(merged)
@@ -340,6 +360,8 @@ def _exchange_merge(
     # Ray Data sort-shuffle fallback (huge fanout) — and the refs-empty
     # degenerate case, where map_batches supplies the empty-result schema
     def finish(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 and empty is not None:
+            return empty
         t = _pick_spec(t, spec_idx, cols)
         out = _combine_partials(t, spec)
         return out.rename_columns([names.get(c, c) for c in out.column_names])
@@ -499,7 +521,12 @@ def hash_bucket_apply(
     )
 
 
-def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset:
+def grouped(
+    ds: Dataset,
+    spec: GroupSpec,
+    buckets: int | None = None,
+    empty: pa.Table | None = None,
+) -> Dataset:
     """partial-per-block pre-aggregate → compaction combine → hash-bucketed
     exact merge → final stats columns.
 
@@ -508,6 +535,12 @@ def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset
     the exchange input either way (bounded at blocks × groups rows), and the
     merge plan is picked from their actual cardinality.  Callers composing
     grouped() into larger lazy graphs should call it last.
+
+    ``empty``: optional FINAL-schema empty table returned when every
+    partial block is schema-less (Ray drops the schema of all-empty map
+    outputs) — without it a fully-empty input fails the merge's group_by.
+    Callers whose partial stage can legitimately produce zero rows (e.g.
+    window/dup detectors on short-doc corpora) should pass it.
     """
     buckets = buckets or dyn_buckets()
     # batch_size coalesces small upstream blocks (e.g. hundreds of routed
@@ -530,7 +563,7 @@ def grouped(ds: Dataset, spec: GroupSpec, buckets: int | None = None) -> Dataset
         )
         .materialize()
     )
-    return _exchange_merge(partial, spec, buckets)
+    return _exchange_merge(partial, spec, buckets, empty=empty)
 
 
 @ray.remote

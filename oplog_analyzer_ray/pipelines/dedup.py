@@ -1690,15 +1690,14 @@ def substring_dedup(sf_dir: str) -> Dataset:
     dictionary-encoded through the task exchange.  Oracle:
     ``oracle.SUBSTRING_DEDUP``."""
     w = SUBSTR_WINDOW
+    schema = pa.schema(
+        [("whash", pa.string()), ("doc_id", pa.int64()), ("n", pa.int64())]
+    )
+    empty = schema.empty_table()
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "whash": pd.Series([], dtype="object"),
-                "doc_id": pd.Series([], dtype="int64"),
-                "n": pd.Series([], dtype="int64"),
-            }
-        )
+    def partial(df: pd.DataFrame) -> pa.Table:
+        # typed arrow out (an all-short batch yields ZERO windows; a pandas
+        # empty would otherwise type whash as null and poison the merge)
         if not len(df):
             return empty
         toks = df["text"].str.split(" ")
@@ -1729,7 +1728,7 @@ def substring_dedup(sf_dir: str) -> Dataset:
         agg = sub.groupby(["whash", "doc_id"], sort=False).size()
         out = agg.reset_index(name="n")
         out["n"] = out["n"].astype("int64")
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
     partials = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pandas"
@@ -1737,6 +1736,10 @@ def substring_dedup(sf_dir: str) -> Dataset:
     per_doc = grouped(
         partials,
         GroupSpec(keys=("whash", "doc_id"), count=False, sum_cols=("n",)),
+        empty=pa.schema(
+            [("whash", pa.string()), ("doc_id", pa.int64()),
+             ("sum_n", pa.int64())]
+        ).empty_table(),
     )
     g = grouped(
         per_doc,
@@ -1747,6 +1750,11 @@ def substring_dedup(sf_dir: str) -> Dataset:
             min_cols=("doc_id",),
             max_cols=("doc_id",),
         ),
+        empty=pa.schema(
+            [("whash", pa.string()), ("cnt", pa.int64()),
+             ("sum_sum_n", pa.int64()), ("min_doc_id", pa.int64()),
+             ("max_doc_id", pa.int64())]
+        ).empty_table(),
     )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -1777,21 +1785,21 @@ def prefix_dup_groups(sf_dir: str) -> Dataset:
     FIRST in crawl pipelines.  Split semantics mirror the oracle exactly:
     split on single space, first 8 elements, rejoin (a <8-token document
     keys on its whole text).  Oracle: ``oracle.PREFIX_DUP_GROUPS``."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    schema = pa.schema([("phash", pa.string()), ("doc_id", pa.int64())])
+
+    def partial(df: pd.DataFrame) -> pa.Table:
         if not len(df):
-            return pd.DataFrame(
-                {
-                    "phash": pd.Series([], dtype="object"),
-                    "doc_id": pd.Series([], dtype="int64"),
-                }
-            )
+            return schema.empty_table()
         pre = df["text"].str.split(" ").str[:PREFIX_TOKENS].str.join(" ")
         inv, uniq = pd.factorize(pre)
         hexes = np.array(
             [hashlib.md5(s.encode()).hexdigest() for s in uniq], dtype=object
         )
-        return pd.DataFrame(
-            {"phash": hexes[inv], "doc_id": df["doc_id"].to_numpy()}
+        return pa.table(
+            {
+                "phash": pa.array(hexes[inv], pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
         )
 
     g = grouped(
@@ -1804,6 +1812,10 @@ def prefix_dup_groups(sf_dir: str) -> Dataset:
             min_cols=("doc_id",),
             max_cols=("doc_id",),
         ),
+        empty=pa.schema(
+            [("phash", pa.string()), ("cnt", pa.int64()),
+             ("min_doc_id", pa.int64()), ("max_doc_id", pa.int64())]
+        ).empty_table(),
     )
 
     def fin(t: pa.Table) -> pa.Table:

@@ -1635,6 +1635,10 @@ def event_transitions(sf_dir: str) -> Dataset:
     g = grouped(
         per_bucket,
         GroupSpec(keys=("from_type", "to_type"), count=False, sum_cols=("n",)),
+        empty=pa.schema(
+            [("from_type", pa.string()), ("to_type", pa.string()),
+             ("sum_n", pa.int64())]
+        ).empty_table(),
     )
 
     def post(t: pa.Table) -> pa.Table:

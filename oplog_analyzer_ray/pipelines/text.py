@@ -1821,58 +1821,66 @@ def bigram_pmi(sf_dir: str) -> Dataset:
 
     from .agg import GroupSpec, grouped, topk
 
-    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+    uni_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
+    bi_schema = pa.schema([("ngram", pa.string()), ("cnt", pa.int64())])
+
+    def uni_partial(df: pd.DataFrame) -> pa.Table:
         if not len(df):
-            return pd.DataFrame(
-                {
-                    "token": pd.Series([], dtype="object"),
-                    "cnt": pd.Series([], dtype="int64"),
-                }
-            )
+            return uni_schema.empty_table()
         toks = df["text"].str.split(" ").explode()
         agg = toks.groupby(toks, sort=False).size()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "token": agg.index.to_numpy(),
-                "cnt": agg.to_numpy().astype("int64"),
-            }
+                "token": pa.array(agg.index.to_numpy(), pa.string()),
+                "cnt": pa.array(agg.to_numpy().astype("int64"), pa.int64()),
+            },
+            schema=uni_schema,
         )
 
-    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+    def bi_partial(df: pd.DataFrame) -> pa.Table:
         toks = df["text"].str.split(" ")
         lens = toks.str.len().to_numpy(dtype=np.int64)
         total = int(lens.sum())
         if total == 0:
-            return pd.DataFrame(
-                {
-                    "ngram": pd.Series([], dtype="object"),
-                    "cnt": pd.Series([], dtype="int64"),
-                }
-            )
+            return bi_schema.empty_table()
         flat = toks.explode().to_numpy()
         doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
         valid = doc_idx[:-1] == doc_idx[1:]
         grams = flat[:-1][valid] + " " + flat[1:][valid]
+        if not len(grams):  # every doc a single token: no bigrams
+            return bi_schema.empty_table()
         g = pd.Series(grams)
         agg = g.groupby(g, sort=False).size()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "ngram": agg.index.to_numpy(),
-                "cnt": agg.to_numpy().astype("int64"),
-            }
+                "ngram": pa.array(agg.index.to_numpy(), pa.string()),
+                "cnt": pa.array(agg.to_numpy().astype("int64"), pa.int64()),
+            },
+            schema=bi_schema,
         )
 
     docs = read_documents(sf_dir, ["text"])
     uni = grouped(
         docs.map_batches(uni_partial, batch_format="pandas"),
         GroupSpec(keys=("token",), count=False, sum_cols=("cnt",)),
+        empty=pa.schema(
+            [("token", pa.string()), ("sum_cnt", pa.int64())]
+        ).empty_table(),
     )
     bi = grouped(
         docs.map_batches(bi_partial, batch_format="pandas"),
         GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt",)),
+        empty=pa.schema(
+            [("ngram", pa.string()), ("sum_cnt", pa.int64())]
+        ).empty_table(),
+    )
+    pmi_schema = pa.schema(
+        [("ngram", pa.string()), ("cnt", pa.int64()), ("score", pa.int64())]
     )
     n_uni = uni.sum("sum_cnt")  # exact int scalar tree-reduce
     n_bi = bi.sum("sum_cnt")
+    if not n_bi:  # corpus of single-token documents: no bigrams at all
+        return ray.data.from_arrow(pmi_schema.empty_table())
     head = topk(
         bi, PMI_HEAD, [("sum_cnt", "descending"), ("ngram", "ascending")]
     ).take_all()  # bounded: PMI_HEAD rows
@@ -1903,6 +1911,7 @@ def bigram_pmi(sf_dir: str) -> Dataset:
                 "ngram": pa.array([r[0] for r in rows], pa.string()),
                 "cnt": pa.array([r[1] for r in rows], pa.int64()),
                 "score": pa.array([r[2] for r in rows], pa.int64()),
-            }
+            },
+            schema=pmi_schema,
         )
     )
