@@ -265,8 +265,14 @@ def _merge_task(
     outputs) are filtered; when NOTHING remains, the caller-supplied
     final-schema ``empty`` table is the result."""
     usable = [s for s in shards if s.num_columns]
-    if not usable and empty is not None:
-        return empty
+    if not usable:
+        if empty is not None:
+            return empty
+        raise ValueError(
+            "grouped(): every partial shard is schema-less (fully empty "
+            "input) and no `empty` fallback table was supplied — pass "
+            "grouped(..., empty=<final-schema empty table>)"
+        )
     out = _combine_partials(
         pa.concat_tables([_decode_exchange(s) for s in usable]), spec
     )
@@ -288,8 +294,14 @@ def _concat_merge_task(
     ~0.3 s of streaming-executor startup per tiny merge is pure Amdahl tax.
     Schema-less empty blocks are filtered (see ``_merge_task``)."""
     usable = [b for b in blocks if b.num_columns]
-    if not usable and empty is not None:
-        return empty
+    if not usable:
+        if empty is not None:
+            return empty
+        raise ValueError(
+            "grouped(): every partial block is schema-less (fully empty "
+            "input) and no `empty` fallback table was supplied — pass "
+            "grouped(..., empty=<final-schema empty table>)"
+        )
     t = pa.concat_tables([_pick_spec(b, spec_idx, cols) for b in usable])
     out = _combine_partials(t, spec)
     return out.rename_columns([names.get(c, c) for c in out.column_names])
@@ -371,7 +383,21 @@ def _exchange_merge(
             finish, batch_format="pyarrow", batch_size=None
         )
 
+    # partial-schema empty derived from the FINAL-schema `empty` by inverse
+    # rename (agg types are preserved through the merge), so the sort-shuffle
+    # fallback survives schema-less blocks exactly like the exchange paths.
+    # Only built when `empty` is passed — grouped_multi (spec_idx set) never
+    # passes one, and its union blocks need the _spec projection first.
+    partial_empty = None
+    if empty is not None:
+        inv = {v: k for k, v in names.items()}
+        partial_empty = empty.rename_columns(
+            [inv.get(c, c) for c in empty.column_names]
+        )
+
     def add_bucket(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 and partial_empty is not None:
+            t = partial_empty
         t = _pick_spec(t, spec_idx, cols)
         return t.append_column("_bucket", _bucket_of(t, spec.keys, buckets))
 

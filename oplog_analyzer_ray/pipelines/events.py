@@ -1542,8 +1542,18 @@ def user_churn(sf_dir: str) -> Dataset:
     last = grouped(
         read_events(sf_dir, ["user_id", "ts"]),
         GroupSpec(keys=("user_id",), count=False, max_cols=("ts",)),
+        empty=pa.schema(
+            [("user_id", pa.int64()), ("max_ts", pa.timestamp("us"))]
+        ).empty_table(),
+    ).materialize()  # consumed twice (scalar max + filter); without this
+    # the sort-shuffle fallback plan would re-run the whole merge
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("last_ts", pa.timestamp("us")),
+         ("days_inactive", pa.int64())]
     )
     mx = last.max("max_ts")  # scalar tree-reduce; O(1) driver state
+    if mx is None:  # empty corpus: no users, no churn
+        return ray.data.from_arrow(out_schema.empty_table())
     mx_us = int(pd.Timestamp(mx).value // 1000)
 
     def fin(t: pa.Table) -> pa.Table:
@@ -1581,6 +1591,10 @@ def bounce_rate(sf_dir: str) -> Dataset:
     g = grouped(
         sessionization(sf_dir).map_batches(rows, batch_format="pyarrow"),
         GroupSpec(keys=("day",), count=True, sum_cols=("bounce",)),
+        empty=pa.schema(
+            [("day", pa.timestamp("us")), ("cnt", pa.int64()),
+             ("sum_bounce", pa.int64())]
+        ).empty_table(),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -1607,10 +1621,13 @@ def event_transitions(sf_dir: str) -> Dataset:
     per-bucket transition partials, grouped() merges them.  Oracle:
     ``oracle.EVENT_TRANSITIONS``."""
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # dtype="string" (not object): an empty object column converts to a
+        # NULL-typed arrow column, which poisons the merge's concat when an
+        # all-empty bucket block lands in its own batch
         empty = pd.DataFrame(
             {
-                "from_type": pd.Series([], dtype="object"),
-                "to_type": pd.Series([], dtype="object"),
+                "from_type": pd.Series([], dtype="string"),
+                "to_type": pd.Series([], dtype="string"),
                 "n": pd.Series([], dtype="int64"),
             }
         )

@@ -1812,68 +1812,75 @@ def bigram_pmi(sf_dir: str) -> Dataset:
     entirely — the same reason the repo's averages floor scaled integers.
 
     Scale shape: unigram and bigram counts are both vocabulary-sized
-    DISTRIBUTED grouped() tables (per-batch partials collapse repeats
-    before the exchange); only the ``PMI_HEAD`` head — a CONSTANT — and
-    the <= 2*PMI_HEAD unigram rows it references ever reach the driver,
-    the same bounded-head contract as ``tfidf_topk``'s df-floor.  Oracle:
-    ``oracle.BIGRAM_PMI``."""
+    DISTRIBUTED grouped() tables, produced from ONE corpus scan — the
+    per-batch partial emits both families under a ``kind`` discriminator
+    (0 = unigram, 1 = bigram) through a single grouped() merge, so the
+    documents table is read and tokenized once, not twice.  Only the
+    ``PMI_HEAD`` head — a CONSTANT — and the <= 2*PMI_HEAD unigram rows it
+    references ever reach the driver, the same bounded-head contract as
+    ``tfidf_topk``'s df-floor.  Oracle: ``oracle.BIGRAM_PMI``."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from .agg import GroupSpec, grouped, topk
 
-    uni_schema = pa.schema([("token", pa.string()), ("cnt", pa.int64())])
-    bi_schema = pa.schema([("ngram", pa.string()), ("cnt", pa.int64())])
+    cnt_schema = pa.schema(
+        [("kind", pa.int64()), ("key", pa.string()), ("cnt", pa.int64())]
+    )
 
-    def uni_partial(df: pd.DataFrame) -> pa.Table:
+    def partial(df: pd.DataFrame) -> pa.Table:
         if not len(df):
-            return uni_schema.empty_table()
-        toks = df["text"].str.split(" ").explode()
-        agg = toks.groupby(toks, sort=False).size()
-        return pa.table(
-            {
-                "token": pa.array(agg.index.to_numpy(), pa.string()),
-                "cnt": pa.array(agg.to_numpy().astype("int64"), pa.int64()),
-            },
-            schema=uni_schema,
-        )
-
-    def bi_partial(df: pd.DataFrame) -> pa.Table:
+            return cnt_schema.empty_table()
         toks = df["text"].str.split(" ")
         lens = toks.str.len().to_numpy(dtype=np.int64)
-        total = int(lens.sum())
-        if total == 0:
-            return bi_schema.empty_table()
         flat = toks.explode().to_numpy()
-        doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
-        valid = doc_idx[:-1] == doc_idx[1:]
-        grams = flat[:-1][valid] + " " + flat[1:][valid]
-        if not len(grams):  # every doc a single token: no bigrams
-            return bi_schema.empty_table()
-        g = pd.Series(grams)
-        agg = g.groupby(g, sort=False).size()
+        u = pd.Series(flat)
+        ua = u.groupby(u, sort=False).size()
+        kinds = [np.zeros(len(ua), np.int64)]
+        keys = [ua.index.to_numpy()]
+        cnts = [ua.to_numpy().astype(np.int64)]
+        if len(flat) >= 2:
+            doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
+            valid = doc_idx[:-1] == doc_idx[1:]
+            grams = flat[:-1][valid] + " " + flat[1:][valid]
+            if len(grams):
+                g = pd.Series(grams)
+                ga = g.groupby(g, sort=False).size()
+                kinds.append(np.ones(len(ga), np.int64))
+                keys.append(ga.index.to_numpy())
+                cnts.append(ga.to_numpy().astype(np.int64))
         return pa.table(
             {
-                "ngram": pa.array(agg.index.to_numpy(), pa.string()),
-                "cnt": pa.array(agg.to_numpy().astype("int64"), pa.int64()),
+                "kind": pa.array(np.concatenate(kinds)),
+                "key": pa.array(np.concatenate(keys), pa.string()),
+                "cnt": pa.array(np.concatenate(cnts)),
             },
-            schema=bi_schema,
+            schema=cnt_schema,
         )
 
-    docs = read_documents(sf_dir, ["text"])
-    uni = grouped(
-        docs.map_batches(uni_partial, batch_format="pandas"),
-        GroupSpec(keys=("token",), count=False, sum_cols=("cnt",)),
+    g = grouped(
+        read_documents(sf_dir, ["text"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        GroupSpec(keys=("kind", "key"), count=False, sum_cols=("cnt",)),
         empty=pa.schema(
-            [("token", pa.string()), ("sum_cnt", pa.int64())]
+            [("kind", pa.int64()), ("key", pa.string()),
+             ("sum_cnt", pa.int64())]
         ).empty_table(),
-    )
-    bi = grouped(
-        docs.map_batches(bi_partial, batch_format="pandas"),
-        GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt",)),
-        empty=pa.schema(
-            [("ngram", pa.string()), ("sum_cnt", pa.int64())]
-        ).empty_table(),
-    )
+    )  # merge outputs are object refs: the three consumptions below re-read
+    # them, they do not re-run the scan
+
+    def only(kind: int, key_name: str):
+        def pick_kind(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("kind"), kind))
+            return pa.table(
+                {key_name: t.column("key"), "sum_cnt": t.column("sum_cnt")}
+            )
+
+        return g.map_batches(pick_kind, batch_format="pyarrow")
+
+    uni = only(0, "token")
+    bi = only(1, "ngram")
     pmi_schema = pa.schema(
         [("ngram", pa.string()), ("cnt", pa.int64()), ("score", pa.int64())]
     )
