@@ -405,11 +405,17 @@ def _exchange_merge(
         out = _combine_partials(t.drop_columns(["_bucket"]), spec)
         return out.rename_columns([names.get(c, c) for c in out.column_names])
 
-    return (
+    out = (
         partial.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pyarrow")
     )
+    if empty is not None:
+        # Ray skips the map UDFs entirely for empty blocks, so a fully-empty
+        # input leaves this plan schema-less; one appended typed 0-row block
+        # pins the final schema in every case (0 extra rows otherwise)
+        out = out.union(_rd.from_arrow(empty))
+    return out
 
 
 @ray.remote

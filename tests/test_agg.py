@@ -8,6 +8,7 @@ repartitioning (the salting/partial-combine correctness property)."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 import ray.data
 
@@ -308,3 +309,47 @@ def test_hash_bucket_apply_empty_input_keeps_schema():
         t = _ray.get(ref)
         if hasattr(t, "schema"):
             assert t.schema.names == ["k", "s"]
+
+
+def test_grouped_empty_fallback_paths(monkeypatch):
+    """grouped(empty=...) must survive a fully-empty input in EVERY merge
+    plan: the single-task concat path, the task exchange, and the Ray
+    sort-shuffle fallback (forced here by shrinking the plan thresholds)."""
+    import ray.data as rd
+
+    from oplog_analyzer_ray.pipelines import agg
+
+    spec = agg.GroupSpec(keys=("k",), count=True, sum_cols=("v",))
+    final_empty = pa.schema(
+        [("k", pa.string()), ("cnt", pa.int64()), ("sum_v", pa.int64())]
+    ).empty_table()
+
+    def all_empty(t: pa.Table) -> pa.Table:
+        # typed 0-row output; Ray stores it as a schema-less empty block
+        return pa.schema(
+            [("k", pa.string()), ("v", pa.int64())]
+        ).empty_table()
+
+    src = rd.from_arrow(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    ).map_batches(all_empty, batch_format="pyarrow")
+
+    # 1) small-cardinality concat path (default thresholds)
+    out = agg.grouped(src, spec, empty=final_empty)
+    assert out.count() == 0 and out.schema().names == ["k", "cnt", "sum_v"]
+
+    # 2) sort-shuffle fallback (thresholds floored so the plan falls through)
+    monkeypatch.setattr(agg, "SMALL_MERGE_ROWS", -1)
+    monkeypatch.setattr(agg, "MAX_EXCHANGE_FANOUT", 0)
+    out2 = agg.grouped(src, spec, empty=final_empty)
+    assert out2.count() == 0 and out2.schema().names == ["k", "cnt", "sum_v"]
+
+    # 3) task exchange (fanout restored, small-merge still disabled)
+    monkeypatch.setattr(agg, "MAX_EXCHANGE_FANOUT", 1 << 18)
+    out3 = agg.grouped(src, spec, empty=final_empty)
+    assert out3.count() == 0 and out3.schema().names == ["k", "cnt", "sum_v"]
+
+    # without the fallback the failure must be the documented clear error
+    monkeypatch.setattr(agg, "SMALL_MERGE_ROWS", 65_536)
+    with pytest.raises(Exception, match="schema-less|empty"):
+        agg.grouped(src, spec).count()
