@@ -1046,7 +1046,7 @@ def top_event_paths(sf_dir: str) -> Dataset:
         if not len(df):
             return pd.DataFrame(
                 {
-                    "path": pd.Series([], dtype="object"),
+                    "path": pd.Series([], dtype="string"),  # object→NULL-typed arrow
                     "n_users": pd.Series([], dtype="int64"),
                 }
             )
@@ -1089,7 +1089,7 @@ def inter_event_gaps(sf_dir: str) -> Dataset:
         if not len(df):
             return pd.DataFrame(
                 {
-                    "event_type": pd.Series([], dtype="object"),
+                    "event_type": pd.Series([], dtype="string"),  # object→NULL-typed arrow
                     "n": pd.Series([], dtype="int64"),
                     "sum_us": pd.Series([], dtype="int64"),
                     "max_us": pd.Series([], dtype="int64"),
