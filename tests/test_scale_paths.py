@@ -163,3 +163,45 @@ def test_pack_sequences_range_invariant():
     )
     # the running total is exclusive: first doc starts at (0, 0)
     assert a.iloc[0]["seq_id"] == 0 and a.iloc[0]["seq_off"] == 0
+
+
+def test_substring_dedup_layout_invariant(tmp_path):
+    """substring_dedup results are invariant to the corpus FILE layout
+    (single documents.parquet vs a documents/ directory of shards) —
+    windows never span documents, so block boundaries cannot change the
+    (whash, doc_id) stream, only its batching."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.dedup import substring_dedup
+
+    rows = []
+    words = ["aa", "bb", "cc", "dd"]
+    for d in range(24):
+        toks = [words[(d * 7 + i) % 4] for i in range(5 + d % 6)]
+        rows.append((d, " ".join(toks)))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(["s0"] * len(rows)),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    single = tmp_path / "single"
+    single.mkdir()
+    pq.write_table(t, single / "documents.parquet")
+    multi = tmp_path / "multi"
+    (multi / "documents").mkdir(parents=True)
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * 8, 8), multi / "documents" / f"part-{i}.parquet"
+        )
+
+    a = substring_dedup(str(single)).to_pandas()
+    b = substring_dedup(str(multi)).to_pandas()
+    assert len(a) > 0  # the tiny vocab guarantees shared windows
+    assert a.values.tolist() == b.values.tolist()
