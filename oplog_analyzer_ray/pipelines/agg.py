@@ -60,9 +60,20 @@ class GroupSpec:
 
 
 def _partial_batch(batch: pa.Table, spec: GroupSpec) -> pa.Table:
-    """One partial row per group present in this block (vectorized)."""
-    cols = [c for c in spec.needed_columns if c in batch.column_names]
-    t = batch.select(cols)
+    """One partial row per group present in this block (vectorized).
+
+    Schema-less empty blocks pass through (the merge tiers filter them); a
+    NON-empty block missing a spec column is a caller bug and fails with a
+    named KeyError, not an opaque arrow field error from the group_by."""
+    if batch.num_columns == 0:
+        return batch
+    missing = [c for c in spec.needed_columns if c not in batch.column_names]
+    if missing:
+        raise KeyError(
+            f"grouped(): spec column(s) {missing} absent from block schema "
+            f"{batch.column_names}"
+        )
+    t = batch.select(spec.needed_columns)
     if spec.count:
         t = t.append_column("_ones", pa.array(np.ones(t.num_rows, dtype=np.int64)))
     aggs = []
@@ -91,6 +102,8 @@ def _combine_partials(batch: pa.Table, spec: GroupSpec) -> pa.Table:
     Collapses many tiny per-block partials into a handful of blocks so the
     final keyed shuffle and everything downstream (sort/limit) pays per-block
     overhead on ~1 block instead of one per upstream task."""
+    if batch.num_columns == 0:  # schema-less empty from the partial tier
+        return batch
     aggs, renames = [], {}
     if spec.count:
         aggs.append(("_ones_sum", "sum"))
@@ -159,11 +172,28 @@ def dyn_buckets(floor: int = MERGE_BUCKETS) -> int:
 
 def _bucket_np(t: pa.Table, keys: tuple[str, ...], buckets: int) -> np.ndarray:
     """Deterministic cross-process hash bucket of the composite key
-    (pandas hash_array uses a fixed siphash key, so every worker agrees)."""
+    (pandas hash_array uses a fixed siphash key, so every worker agrees).
+
+    Null keys are fill_null'ed to an in-dtype sentinel BEFORE ``to_pandas``
+    and re-marked afterwards: a null-bearing int64/bool block would
+    otherwise convert to float64/object and hash the SAME non-null value
+    to a DIFFERENT bucket than a null-free block does — silently splitting
+    a key's partials across buckets.  Null-free blocks hash bit-identically
+    to the pre-fix code."""
     h = np.zeros(t.num_rows, dtype=np.uint64)
     for k in keys:
-        arr = t.column(k).to_pandas().to_numpy()
+        col = t.column(k)
+        mask = None
+        if col.null_count:
+            mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+            fill = "" if (
+                pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+            ) else 0
+            col = pc.fill_null(col, pa.scalar(fill, type=col.type))
+        arr = col.to_pandas().to_numpy()
         h = h * np.uint64(1_000_003) + pd.util.hash_array(arr, categorize=False)
+        if mask is not None:  # null != the sentinel value, deterministically
+            h[mask] = h[mask] * np.uint64(31) + np.uint64(7)
     return (h % buckets).astype(np.int64)
 
 
@@ -192,6 +222,18 @@ def _pick_spec(t: pa.Table, spec_idx: int | None, cols: list[str] | None):
     if spec_idx is None:
         return t
     return t.filter(pc.equal(t.column("_spec"), spec_idx)).select(cols)
+
+
+@ray.remote
+def _project_task(t: pa.Table, spec_idx: int, cols: list[str]) -> pa.Table:
+    """Per-block spec projection BEFORE a cross-worker transfer: without it
+    the single-task small merge of a low-cardinality spec would ship every
+    union block — including the OTHER specs' potentially-millions of
+    partial rows — to one worker, once per small spec.  Schema-less empty
+    blocks pass through (the merge filters them)."""
+    if "_spec" not in t.column_names:
+        return t
+    return _pick_spec(t, spec_idx, cols)
 
 
 # dictionary-encode a string column of an exchange slice only when it
@@ -239,7 +281,25 @@ def _split_task(
     instead of full strings."""
     if t.num_columns == 0:  # schema-less empties carry no key columns
         return [t] * buckets
-    t = _pick_spec(t, spec_idx, cols)
+    return _order_and_slice(_pick_spec(t, spec_idx, cols), keys, buckets)
+
+
+def _order_and_slice(
+    t: pa.Table, keys: tuple[str, ...], buckets: int
+) -> list[pa.Table]:
+    """Shared split-side kernel of BOTH exchanges (grouped()'s _split_task
+    and hash_bucket_apply's _split_group_task): order one block by key-hash
+    bucket and return the ``buckets`` contiguous dictionary-encoded slices.
+    One definition so the bucket semantics, the missing-key failure mode
+    and the encode policy cannot drift between the two."""
+    missing = [k for k in keys if k not in t.column_names]
+    if missing:
+        # a NON-empty block without the key is a caller bug — fail like the
+        # sort path does, never silently drop rows
+        raise KeyError(
+            f"exchange split: key column(s) {missing} absent from block "
+            f"schema {t.column_names}"
+        )
     b = _bucket_np(t, keys, buckets)
     order = np.argsort(b, kind="stable")
     t2 = t.take(pa.array(order))
@@ -348,12 +408,14 @@ def _exchange_merge(
         n_rows = partial.count()
 
     if refs and n_rows <= SMALL_MERGE_ROWS:
+        use, si, sc = refs, spec_idx, cols
+        if spec_idx is not None:
+            # project each union block where it lives; only THIS spec's
+            # <= n_rows partial rows cross to the single merge worker
+            use = [_project_task.remote(r, spec_idx, cols) for r in refs]
+            si, sc = None, None
         return _rd.from_arrow_refs(
-            [
-                _concat_merge_task.remote(
-                    spec, names, spec_idx, cols, empty, *refs
-                )
-            ]
+            [_concat_merge_task.remote(spec, names, si, sc, empty, *use)]
         )
 
     if refs and len(refs) * buckets <= MAX_EXCHANGE_FANOUT:
@@ -379,9 +441,14 @@ def _exchange_merge(
         return out.rename_columns([names.get(c, c) for c in out.column_names])
 
     if not refs:
-        return partial.repartition(1).map_batches(
+        out = partial.repartition(1).map_batches(
             finish, batch_format="pyarrow", batch_size=None
         )
+        if empty is not None:
+            # a zero-block dataset runs NO map UDF, so `finish` alone
+            # cannot supply the schema — the appended typed 0-row block does
+            out = out.union(_rd.from_arrow(empty))
+        return out
 
     # partial-schema empty derived from the FINAL-schema `empty` by inverse
     # rename (agg types are preserved through the merge), so the sort-shuffle
@@ -434,28 +501,11 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
         ).replace_schema_metadata(None)
     if t.num_rows == 0:
         return [t.schema.empty_table()] * buckets
-    missing = [k for k in keys if k not in t.column_names]
-    if missing:
-        # a NON-empty block without the key is a caller bug — fail like the
-        # sort path does, never silently drop rows
-        raise KeyError(
-            f"hash_bucket_apply: key column(s) {missing} absent from block "
-            f"schema {t.column_names}"
-        )
-    b = _bucket_np(t, keys, buckets)
-    order = np.argsort(b, kind="stable")
-    t2 = t.take(pa.array(order))
-    cuts = np.searchsorted(b[order], np.arange(buckets + 1))
-    # dictionary-encode repeated string columns per slice (same policy as
-    # _split_task): the group exchange carries every dedup join and all
-    # per-user events ops — string user_id / shingle key columns otherwise
-    # ship raw through the bandwidth-starved wide level
-    return [
-        _encode_exchange(
-            t2.slice(cuts[i], cuts[i + 1] - cuts[i]).combine_chunks()
-        )
-        for i in range(buckets)
-    ]
+    # shared kernel with grouped()'s _split_task: bucket order + per-slice
+    # dictionary encode — the group exchange carries every dedup join and
+    # all per-user events ops, so string user_id / shingle key columns
+    # would otherwise ship raw through the bandwidth-starved wide level
+    return _order_and_slice(t, keys, buckets)
 
 
 @ray.remote
@@ -544,13 +594,20 @@ def hash_bucket_apply(
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column("_bucket", _bucket_of(t, keys, buckets))
 
-    return (
+    out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(
             lambda g: fn(g.drop_columns(["_bucket"])), batch_format="pyarrow"
         )
     )
+    if empty is not None:
+        # same schema pin as grouped()'s fallback: a fully-empty input runs
+        # no UDF, so one appended typed 0-row block keeps the result typed
+        import ray.data as _rd
+
+        out = out.union(_rd.from_arrow(empty.schema.empty_table()))
+    return out
 
 
 def grouped(
@@ -600,7 +657,11 @@ def grouped(
 
 @ray.remote
 def _spec_counts_task(t: pa.Table, n_specs: int) -> np.ndarray:
-    """Per-spec partial-row counts of one union block (for plan choice)."""
+    """Per-spec partial-row counts of one union block (for plan choice).
+    Schema-less empty blocks (Ray drops the schema of all-empty map
+    outputs) carry no _spec column and count as zero everywhere."""
+    if "_spec" not in t.column_names:
+        return np.zeros(n_specs, dtype=np.int64)
     return np.bincount(
         t.column("_spec").to_numpy(zero_copy_only=False), minlength=n_specs
     ).astype(np.int64)
@@ -631,6 +692,8 @@ class UnionPlan:
     union_cols: tuple[str, ...]
 
     def multi_partial(self, batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # schema-less empty block
+            return batch
         parts = [_partial_batch(batch, s) for s in self.specs]
         tmap = {}
         for p in parts:
@@ -780,8 +843,11 @@ def copartitioned_hot_keys(data_dir: str, k: int = 20) -> Dataset:
                 )
                 .group_by(["ns", "conv_id"])
                 .aggregate([("_ones", "sum"), ("size", "sum")])
-                .rename_columns(["ns", "conv_id", "cnt", "total_size"])
             )
+            # name-mapped, NOT positional: pyarrow's keys-first aggregate
+            # column order is not contractual across versions
+            ren = {"_ones_sum": "cnt", "size_sum": "total_size"}
+            g = g.rename_columns([ren.get(c, c) for c in g.column_names])
             if g.num_rows > k:
                 g = g.take(pc.select_k_unstable(g, k=k, sort_keys=sort_keys))
             outs.append(g)

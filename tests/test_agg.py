@@ -353,3 +353,29 @@ def test_grouped_empty_fallback_paths(monkeypatch):
     monkeypatch.setattr(agg, "SMALL_MERGE_ROWS", 65_536)
     with pytest.raises(Exception, match="schema-less|empty"):
         agg.grouped(src, spec).count()
+
+
+def test_grouped_nullable_key_buckets():
+    """A null-bearing int64 key block must hash its NON-null keys to the
+    same buckets as a null-free block: pandas to_pandas() promotes nullable
+    int64 to float64, and hash_array(7) != hash_array(7.0) — without the
+    fill_null-first fix the same key's partials split across buckets and
+    the merge emits duplicate groups."""
+    a = pa.table({"k": pa.array([7, 7], pa.int64()),
+                  "v": pa.array([1, 2], pa.int64())})
+    b = pa.table({"k": pa.array([7, None, None], pa.int64()),
+                  "v": pa.array([4, 8, 16], pa.int64())})
+    ds = ray.data.from_arrow_refs(
+        [ray.put(a), ray.put(b)]
+    )
+    out = grouped(
+        ds, GroupSpec(keys=("k",), count=True, sum_cols=("v",)), buckets=64
+    ).to_pandas()
+    import pandas as pd
+
+    by_k = {None if pd.isna(r.k) else int(r.k): (r.cnt, r.sum_v)
+            for r in out.itertuples(index=False)}
+    assert len(out) == 2
+    assert by_k[7] == (3, 7)      # one merged row, not split partials
+    assert by_k[None] == (2, 24)  # nulls co-locate too
+
