@@ -45,7 +45,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- RULE (permanent): every NEW query enters at the HEAD of this
         # dict and stays there until it has a green driver row — the driver
         # sweeps in dict order and checks a bounded window (~50), so a query
-        # registered below the window is never oracle-checked. ---
+        # registered below the window is never oracle-checked.  With these
+        # four, the head block is EXACTLY 50 never-checked queries — adding
+        # more would evict one from the window. ---
+        "containment_scores": dedup.containment_scores,  # doc-inside-doc
+        "mutual_knn_pairs": similarity.mutual_knn_pairs,  # reciprocal kNN
+        "concurrent_sessions": ev.concurrent_sessions,  # hour range join
+        "lang_confusion": text.lang_confusion,  # lang-ID QA matrix
         "substring_dedup": dedup.substring_dedup,  # exact k-token windows
         "prefix_dup_groups": dedup.prefix_dup_groups,  # shared page heads
         "bigram_pmi": text.bigram_pmi,  # exact-integer collocations
@@ -242,6 +248,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": oracle.SIMHASH_NEAR_DUPS,
         "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
         "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
+        "containment_scores": oracle.CONTAINMENT_SCORES,
+        "mutual_knn_pairs": oracle.MUTUAL_KNN_PAIRS,
+        "concurrent_sessions": oracle.CONCURRENT_SESSIONS,
+        "lang_confusion": oracle.LANG_CONFUSION,
         "dedup_clusters": oracle.DEDUP_CLUSTERS,
         "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
         "semantic_dedup": oracle.SEMANTIC_DEDUP,

@@ -552,7 +552,10 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
 
 
 def verify_candidates(
-    sf_dir: str, cands: Dataset, threshold: float | None = None
+    sf_dir: str,
+    cands: Dataset,
+    threshold: float | None = None,
+    score: str = "jaccard",
 ) -> Dataset:
     """The verify stage of :func:`_jaccard_pairs_uncached` over an ARBITRARY
     candidate-pair dataset (columns ``doc_a``, ``doc_b``) — split out so an
@@ -562,7 +565,15 @@ def verify_candidates(
     candidates by hash, call this per wave, and union/accumulate the
     verified outputs.  ``stress.py --mode adversarial`` is the harness.
     ``threshold`` defaults to the dedup JACCARD_THRESHOLD; pass 0.0 to
-    score every candidate (the search path)."""
+    score every candidate (the search path).
+
+    ``score`` picks the set-similarity measure computed from the same
+    (|A∩B|, |A|, |B|) triple: ``"jaccard"`` (|A∩B|/|A∪B|, the dedup
+    default) or ``"containment"`` (|A∩B|/min(|A|,|B|) — the doc-inside-doc
+    signal Jaccard under-scores when sizes are asymmetric); the output
+    column is named after the measure."""
+    if score not in ("jaccard", "containment"):
+        raise ValueError(f"unknown score {score!r}")
     keep_at = JACCARD_THRESHOLD if threshold is None else threshold
 
     def pairs_hop1(t: pa.Table) -> pa.Table:
@@ -623,7 +634,7 @@ def verify_candidates(
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            score: pa.array([], pa.float64()),
         }
     )
 
@@ -664,8 +675,11 @@ def verify_candidates(
         len_b_all = pc.list_value_length(build.column("sh")).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        union = len_a + len_b_all[bpos] - inter
-        j = inter / union
+        len_b = len_b_all[bpos]
+        if score == "containment":
+            j = inter / np.minimum(len_a, len_b)
+        else:
+            j = inter / (len_a + len_b - inter)
         keep = j >= keep_at
         return pa.table(
             {
@@ -675,7 +689,7 @@ def verify_candidates(
                 "doc_b": probe.column("join_id").take(
                     pa.array(np.flatnonzero(keep))
                 ),
-                "jaccard": pa.array(
+                score: pa.array(
                     np.floor(j[keep] * 1e6) / 1e6, pa.float64()
                 ),
             }
@@ -689,6 +703,30 @@ def verify_candidates(
         use_exchange=exchange,
         empty=_EMPTY_VERIFIED,
     )
+
+
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_scores(sf_dir: str) -> Dataset:
+    """Shingle CONTAINMENT over the LSH candidate pairs: for each candidate
+    (doc_a, doc_b), |A∩B| / min(|A|, |B|) over the distinct word-3-gram
+    sets, kept at ≥ 0.5 — the doc-inside-doc near-dup signal (a short doc
+    fully embedded in a long one scores ~1.0 here but near-0 on Jaccard,
+    the asymmetric case Broder's containment was defined for).
+
+    Same 100 TB shape as :func:`near_dup_jaccard`: the session-memoized
+    candidate set and shingle build side feed the bucketed two-hop join;
+    only the final score arithmetic differs (one extra branch in the shared
+    vectorized verify kernel).  Reference has no containment op — this is a
+    training-data-pipeline extension alongside the Jaccard verify
+    (AnalyzeCommand.java has only exact-id aggregation)."""
+    return verify_candidates(
+        sf_dir,
+        _candidate_pairs_ds(sf_dir),
+        threshold=CONTAINMENT_THRESHOLD,
+        score="containment",
+    ).sort(["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------------------ simhash

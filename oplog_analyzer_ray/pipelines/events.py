@@ -959,6 +959,62 @@ def power_users(sf_dir: str) -> Dataset:
     return counts().map_batches(keep, batch_format="pyarrow").sort(["user_id"])
 
 
+_HOUR_US = 3_600_000_000
+
+
+def concurrent_sessions(sf_dir: str) -> Dataset:
+    """Hourly session concurrency: ``(hour, n_sessions, n_users)`` — for
+    every wall-clock hour, how many sessions were ACTIVE during it (span
+    overlap, not start time) and how many distinct users they belong to.
+    An interval RANGE JOIN (session span ⨝ hour grid) — Ray Data has no
+    native one; the standard distributed reduction is explode-to-grid:
+    each session row expands to its covered hour keys (bounded: sessions
+    are gap-capped, so spans are hours, not the corpus's time range), then
+    the two-level grouped() of :func:`daily_active_users` — level 1
+    collapses to distinct (hour, user) carrying the session count, level 2
+    counts users and sums sessions.  Only (hour, user, cnt) int rows ever
+    shuffle; consumes the session-memoized :func:`sessionization`."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "hour": df["start_ts"],
+                    "user_id": pd.Series([], dtype="int64"),
+                }
+            )
+        start = df["start_ts"].dt.floor("h").astype("int64").to_numpy()
+        end = df["end_ts"].dt.floor("h").astype("int64").to_numpy()
+        n = (end - start) // _HOUR_US + 1
+        offs = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
+        hours = np.repeat(start, n) + offs * _HOUR_US
+        return pd.DataFrame(
+            {
+                "hour": hours.astype("datetime64[us]"),
+                "user_id": np.repeat(df["user_id"].to_numpy(), n),
+            }
+        )
+
+    per_user = grouped(
+        sessionization(sf_dir).map_batches(explode, batch_format="pandas"),
+        GroupSpec(keys=("hour", "user_id")),
+    )
+    g = grouped(
+        per_user, GroupSpec(keys=("hour",), count=True, sum_cols=("cnt",))
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": t.column("hour"),
+                "n_sessions": t.column("sum_cnt"),
+                "n_users": t.column("cnt"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(["hour"])
+
+
 def session_stats(sf_dir: str) -> Dataset:
     """One-row corpus rollup over :func:`sessionization`: ``(n_sessions,
     n_bounces, avg_events, avg_duration_s, sum_value)`` — the engagement

@@ -461,6 +461,24 @@ K_GRAPH = 3  # neighbors per vector in the kNN graph
 
 
 def knn_graph(sf_dir: str, k: int = K_GRAPH, n_chunks: int | None = None) -> Dataset:
+    """Session-memoized surface of :func:`_knn_graph_uncached` — the graph
+    feeds two query surfaces (``knn_graph``, ``mutual_knn_pairs``), so a
+    sweep pays the O(n²·d) triangle join once.  Non-default ``k`` /
+    ``n_chunks`` (the invariance tests) bypass the cache."""
+    if k == K_GRAPH and n_chunks is None:
+        from .corpus import corpus_bytes
+        from .dedup import _chain_cached
+
+        return _chain_cached(
+            sf_dir,
+            "knn_graph",
+            lambda: _knn_graph_uncached(sf_dir, K_GRAPH, None),
+            nbytes=corpus_bytes(sf_dir, "embeddings"),
+        )
+    return _knn_graph_uncached(sf_dir, k, n_chunks)
+
+
+def _knn_graph_uncached(sf_dir: str, k: int, n_chunks: int | None) -> Dataset:
     """Exact k-nearest-neighbor GRAPH over the embeddings table: for EVERY
     vector, its top-k cosine neighbors (self excluded) —
     ``(vec_id, neighbor_id, rank, cos)``, rank 1..k by (cos DESC,
@@ -588,6 +606,56 @@ def knn_graph(sf_dir: str, k: int = K_GRAPH, n_chunks: int | None = None) -> Dat
             ]
         ).empty_table(),
     ).sort(["vec_id", "rank"])
+
+
+def mutual_knn_pairs(sf_dir: str) -> Dataset:
+    """Reciprocal nearest-neighbor pairs: ``(vec_a, vec_b, cos)`` with
+    ``vec_a < vec_b`` where EACH vector is in the other's exact top-K_GRAPH
+    cosine neighbors — the mutual-kNN criterion used for high-precision
+    near-dup candidates and diversity-preserving graph clustering (a hub
+    vector's one-way neighbors are excluded by construction).
+
+    Scale shape: consumes the session-memoized :func:`knn_graph` (n·k id+
+    score rows, never vectors), folds each directed edge to its unordered
+    key, and one ``grouped()`` pass counts directions per pair — mutual ⇔
+    cnt = 2.  Cosine is direction-independent bit-for-bit (same float64
+    dot, same truncation), so ``max_cos`` is THE pair cosine, not a
+    tie-break."""
+    from .agg import GroupSpec, grouped
+
+    g = knn_graph(sf_dir)
+
+    def emit(t: pa.Table) -> pa.Table:
+        a = t.column("vec_id").to_numpy(zero_copy_only=False)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                "vec_b": pa.array(np.maximum(a, b), pa.int64()),
+                "cos": t.column("cos"),
+            }
+        )
+
+    pairs = grouped(
+        g.map_batches(emit, batch_format="pyarrow"),
+        GroupSpec(keys=("vec_a", "vec_b"), count=True, max_cols=("cos",)),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t.column("cnt"), 2))
+        return pa.table(
+            {
+                "vec_a": t.column("vec_a"),
+                "vec_b": t.column("vec_b"),
+                "cos": t.column("max_cos"),
+            }
+        )
+
+    return pairs.map_batches(post, batch_format="pyarrow").sort(
+        ["vec_a", "vec_b"]
+    )
 
 
 def embedding_near_dups_lsh(

@@ -210,6 +210,44 @@ def lang_id(sf_dir: str) -> Dataset:
     )
 
 
+def lang_confusion(sf_dir: str) -> Dataset:
+    """Language-ID confusion matrix: ``(lang, pred_lang, n_docs)`` — the
+    labelled language crossed with :func:`lang_id`'s prediction, the QA
+    rollup that tells you WHERE the classifier is wrong before you gate a
+    corpus on it (per-cell counts expose systematic confusions, e.g. es→fr,
+    that the scalar accuracy hides).
+
+    Scale shape: lang_id's per-batch vectorized scorer → one ``grouped()``
+    over at most |langs+1|² cells — the exchange moves a handful of partial
+    rows per block, never documents."""
+    import pyarrow as pa
+
+    from .agg import GroupSpec, grouped
+
+    def cell(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": df["labelled_lang"], "pred_lang": df["pred_lang"]}
+        )
+
+    g = grouped(
+        lang_id(sf_dir).map_batches(cell, batch_format="pandas"),
+        GroupSpec(keys=("lang", "pred_lang")),
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "pred_lang": t.column("pred_lang"),
+                "n_docs": t.column("cnt"),
+            }
+        )
+
+    return g.map_batches(post, batch_format="pyarrow").sort(
+        ["lang", "pred_lang"]
+    )
+
+
 def doc_fingerprints(sf_dir: str) -> Dataset:
     """Content fingerprint per document (md5 + short prefix)."""
 

@@ -69,6 +69,10 @@ _TABLE_SQL = {
     "simhash_near_dups": oracle.SIMHASH_NEAR_DUPS,
     "lsh_candidate_pairs": oracle.LSH_CANDIDATE_PAIRS,
     "near_dup_jaccard": oracle.NEAR_DUP_JACCARD,
+    "containment_scores": oracle.CONTAINMENT_SCORES,
+    "mutual_knn_pairs": oracle.MUTUAL_KNN_PAIRS,
+    "concurrent_sessions": oracle.CONCURRENT_SESSIONS,
+    "lang_confusion": oracle.LANG_CONFUSION,
     "dedup_clusters": oracle.DEDUP_CLUSTERS,
     "dedup_keep_best": oracle.DEDUP_KEEP_BEST,
     "dedup_cluster_sizes": oracle.DEDUP_CLUSTER_SIZES,

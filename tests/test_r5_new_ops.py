@@ -1,0 +1,146 @@
+"""Contract tests for the final round-5 operator batch (beyond the SQL
+oracle parity, which pins the fixed corpus):
+
+- containment_scores / verify_candidates(score="containment"): kernel
+  equals a per-pair Python set reference on an arbitrary candidate set,
+  and a doc fully contained in another scores 1.0 where Jaccard doesn't.
+- mutual_knn_pairs: exactly the reciprocal edges of knn_graph, carrying
+  the graph's cosine.
+- concurrent_sessions: equals a pandas interval-explode reference over
+  the sessionization table.
+- lang_confusion: equals the crosstab of lang_id's per-doc output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_docs(tmpdir, texts) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["s0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{tmpdir}/documents.parquet",
+    )
+    return str(tmpdir)
+
+
+def test_containment_kernel_matches_set_reference(tmp_path):
+    from oplog_analyzer_ray.pipelines.dedup import _shingles, verify_candidates
+
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(words),  # doc 0: the long doc
+        " ".join(words[5:15]),  # doc 1: fully contained in doc 0
+        " ".join(words[:8] + ["zz", "yy"] + words[20:28]),  # partial overlap
+        "completely different tokens here nothing shared at all",
+    ]
+    sf = _write_docs(tmp_path, texts)
+    cands = pa.table(
+        {
+            "doc_a": pa.array([0, 0, 0, 1, 1, 2], pa.int64()),
+            "doc_b": pa.array([1, 2, 3, 2, 3, 3], pa.int64()),
+        }
+    )
+    got = (
+        verify_candidates(
+            sf, ray.data.from_arrow(cands), threshold=0.0, score="containment"
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sets = [set(_shingles(t)) for t in texts]
+    ref = []
+    for a, b in zip(cands["doc_a"].to_pylist(), cands["doc_b"].to_pylist()):
+        c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+        ref.append((a, b, np.floor(c * 1e6) / 1e6))
+    ref_df = pd.DataFrame(ref, columns=["doc_a", "doc_b", "containment"])
+    pd.testing.assert_frame_equal(got, ref_df, check_dtype=False)
+    # the asymmetric case containment exists for: full inclusion scores 1.0
+    assert got.loc[0, "containment"] == 1.0  # pair (0, 1)
+    jac = (
+        verify_candidates(
+            sf, ray.data.from_arrow(cands), threshold=0.0, score="jaccard"
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert jac.loc[0, "jaccard"] < 0.5  # Jaccard under-scores the same pair
+
+
+def test_mutual_knn_pairs_are_reciprocal_graph_edges():
+    from oplog_analyzer_ray.pipelines.similarity import (
+        knn_graph,
+        mutual_knn_pairs,
+    )
+
+    g = knn_graph(SF_DIR).to_pandas()
+    directed = set(zip(g["vec_id"], g["neighbor_id"]))
+    cos_of = dict(zip(zip(g["vec_id"], g["neighbor_id"]), g["cos"]))
+    want = sorted(
+        (a, b)
+        for (a, b) in directed
+        if a < b and (b, a) in directed
+    )
+    got = mutual_knn_pairs(SF_DIR).to_pandas()
+    assert list(zip(got["vec_a"], got["vec_b"])) == want
+    for _, r in got.iterrows():
+        assert r["cos"] == cos_of[(r["vec_a"], r["vec_b"])]
+        assert r["cos"] == cos_of[(r["vec_b"], r["vec_a"])]
+
+
+def test_concurrent_sessions_matches_pandas_explode():
+    from oplog_analyzer_ray.pipelines.events import (
+        concurrent_sessions,
+        sessionization,
+    )
+
+    s = sessionization(SF_DIR).to_pandas()
+    rows = []
+    for _, r in s.iterrows():
+        h = r["start_ts"].floor("h")
+        end = r["end_ts"].floor("h")
+        while h <= end:
+            rows.append((h, r["user_id"]))
+            h += pd.Timedelta(hours=1)
+    ref = (
+        pd.DataFrame(rows, columns=["hour", "user_id"])
+        .groupby("hour")
+        .agg(n_sessions=("user_id", "size"), n_users=("user_id", "nunique"))
+        .reset_index()
+    )
+    got = concurrent_sessions(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_lang_confusion_is_lang_id_crosstab():
+    from oplog_analyzer_ray.pipelines.text import lang_confusion, lang_id
+
+    per_doc = lang_id(SF_DIR).to_pandas()
+    ref = (
+        per_doc.groupby(["labelled_lang", "pred_lang"])
+        .size()
+        .reset_index(name="n_docs")
+        .rename(columns={"labelled_lang": "lang"})
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+    got = lang_confusion(SF_DIR).to_pandas()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    assert got["n_docs"].sum() == len(per_doc)
