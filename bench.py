@@ -197,16 +197,20 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             extra["split_leakage_report"] = curate.split_leakage_report
             extra["substring_dedup"] = dedup.substring_dedup
             extra["bigram_pmi"] = text.bigram_pmi
+            extra["containment_scores"] = dedup.containment_scores
+            extra["lang_confusion"] = text.lang_confusion
         extra["conv_profiles"] = core.conv_profiles
         if os.path.exists(corpus_path(sf_dir, "embeddings")):
             extra["knn_bruteforce"] = similarity.knn_bruteforce
             extra["semantic_dedup"] = similarity.semantic_dedup
             extra["knn_graph"] = similarity.knn_graph
             extra["kmeans_refine"] = similarity.kmeans_refine
+            extra["mutual_knn_pairs"] = similarity.mutual_knn_pairs
         if os.path.exists(corpus_path(sf_dir, "events")):
             extra["sessionization"] = evmod.sessionization
             extra["conversion_lag_stats"] = evmod.conversion_lag_stats
             extra["event_transitions"] = evmod.event_transitions
+            extra["concurrent_sessions"] = evmod.concurrent_sessions
         for qname, fn in extra.items():
             t0 = time.monotonic()
             res = fn(sf_dir)

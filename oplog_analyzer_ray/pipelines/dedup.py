@@ -539,16 +539,28 @@ def _jaccard_pairs(sf_dir: str) -> Dataset:
 
 
 def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
-    """Exact word-3-gram Jaccard for the LSH candidates, thresholded.
+    """Exact word-3-gram Jaccard for the LSH candidates, thresholded — a
+    pure projection over the session-memoized triple table (see
+    :func:`_verified_triples_cached`): the expensive two-hop shingle join
+    runs once per sweep and both set-similarity surfaces (this and
+    :func:`containment_scores`) derive from it."""
+    return _score_triples(
+        _verified_triples_cached(sf_dir), "jaccard", JACCARD_THRESHOLD
+    )
 
-    Fully distributed doc_id-bucketed two-hop join (the 100 TB path): hop 1
-    co-locates candidate pairs with shingle sets by hash(doc_a) and attaches
-    the left set; hop 2 re-buckets by hash(doc_b), attaches the right set and
-    computes the exact Jaccard.  Only (pair, shingle-set) rows move through
-    the exchanges — candidate pairs are rare by LSH construction, so the
-    carried set payloads stay proportional to the candidate count, and the
-    documents table itself is never materialized anywhere."""
-    return verify_candidates(sf_dir, _candidate_pairs_ds(sf_dir))
+
+def _verified_triples_cached(sf_dir: str) -> Dataset:
+    """Session-memoized exact ``(doc_a, doc_b, inter, len_a, len_b)`` for
+    every LSH candidate pair — ONE doc_id-bucketed two-hop shingle join
+    (the chain's most expensive stage) feeds every set-similarity measure;
+    the scores are cheap vectorized projections of the integer triple.
+    Pair-count-sized (candidates are rare by LSH construction), so the
+    cache cost matches the old scored-pair cache + 3 int64 columns."""
+    return _chain_cached(
+        sf_dir,
+        "verify_triples",
+        lambda: _verify_triples(sf_dir, _candidate_pairs_ds(sf_dir)),
+    )
 
 
 def verify_candidates(
@@ -571,10 +583,59 @@ def verify_candidates(
     (|A∩B|, |A|, |B|) triple: ``"jaccard"`` (|A∩B|/|A∪B|, the dedup
     default) or ``"containment"`` (|A∩B|/min(|A|,|B|) — the doc-inside-doc
     signal Jaccard under-scores when sizes are asymmetric); the output
-    column is named after the measure."""
+    column is named after the measure.  Composition of the exact-integer
+    triple join (:func:`_verify_triples`) and the score projection
+    (:func:`_score_triples`) — the filter fuses into the same streaming
+    stage, so the split costs nothing on the wave path."""
     if score not in ("jaccard", "containment"):
         raise ValueError(f"unknown score {score!r}")
     keep_at = JACCARD_THRESHOLD if threshold is None else threshold
+    return _score_triples(_verify_triples(sf_dir, cands), score, keep_at)
+
+
+_EMPTY_TRIPLES = pa.table(
+    {
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "inter": pa.array([], pa.int64()),
+        "len_a": pa.array([], pa.int64()),
+        "len_b": pa.array([], pa.int64()),
+    }
+)
+
+
+def _score_triples(triples: Dataset, score: str, keep_at: float) -> Dataset:
+    """Project a set-similarity score out of the exact integer triples and
+    threshold it.  int64 → float64 is exact at shingle-count magnitudes and
+    the division is the SAME numpy op the fused kernel ran, so the split is
+    bit-identical to scoring inside the join (6dp truncation unchanged)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy(zero_copy_only=False).astype(np.int64)
+        len_a = t.column("len_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        len_b = t.column("len_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        if score == "containment":
+            j = inter / np.minimum(len_a, len_b)
+        else:
+            j = inter / (len_a + len_b - inter)
+        keep = pa.array(np.flatnonzero(j >= keep_at))
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a").take(keep),
+                "doc_b": t.column("doc_b").take(keep),
+                score: pa.array(
+                    np.floor(j[j >= keep_at] * 1e6) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return triples.map_batches(project, batch_format="pyarrow")
+
+
+def _verify_triples(sf_dir: str, cands: Dataset) -> Dataset:
+    """The two-hop bucketed shingle join, emitting the exact integer
+    ``(doc_a, doc_b, inter, len_a, len_b)`` per candidate pair (no score,
+    no threshold — those are :func:`_score_triples`)."""
 
     def pairs_hop1(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -630,28 +691,20 @@ def verify_candidates(
         use_exchange=exchange,
     )
 
-    _EMPTY_VERIFIED = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            score: pa.array([], pa.float64()),
-        }
-    )
-
     def verify(group: pa.Table) -> pa.Table:
-        """Exact |A∩B| / |A∪B| per candidate pair, fully vectorized: both
+        """Exact |A∩B| per candidate pair, fully vectorized: both
         shingle columns hold DISTINCT sorted elements (built that way in
         ``_shingle_side``), so the intersection size is an exploded
         (pair_idx, shingle) ⨝ (doc_b, shingle) hash join — C-level pandas
-        merge + bincount — and the union is |A| + |B| − |A∩B| from the
-        Arrow list lengths.  Replaces the round-3 per-pair Python
+        merge + bincount — and the set sizes come from the Arrow list
+        lengths.  Replaces the round-3 per-pair Python
         ``set(a) & set(b)`` loop (the hottest remaining Python loop)."""
         build_mask = pc.equal(group.column("peer"), -1)
         build = group.filter(build_mask)
         probe = group.filter(pc.invert(build_mask))
         n = probe.num_rows
         if n == 0:
-            return _EMPTY_VERIFIED
+            return _EMPTY_TRIPLES
         a_col = probe.column("sh_peer").combine_chunks()
         b_col = build.column("sh").combine_chunks()
         sh_a = pc.list_flatten(a_col)
@@ -676,22 +729,13 @@ def verify_candidates(
             zero_copy_only=False
         ).astype(np.int64)
         len_b = len_b_all[bpos]
-        if score == "containment":
-            j = inter / np.minimum(len_a, len_b)
-        else:
-            j = inter / (len_a + len_b - inter)
-        keep = j >= keep_at
         return pa.table(
             {
-                "doc_a": probe.column("peer").take(
-                    pa.array(np.flatnonzero(keep))
-                ),
-                "doc_b": probe.column("join_id").take(
-                    pa.array(np.flatnonzero(keep))
-                ),
-                score: pa.array(
-                    np.floor(j[keep] * 1e6) / 1e6, pa.float64()
-                ),
+                "doc_a": probe.column("peer"),
+                "doc_b": probe.column("join_id"),
+                "inter": pa.array(inter, pa.int64()),
+                "len_a": pa.array(len_a, pa.int64()),
+                "len_b": pa.array(len_b, pa.int64()),
             }
         )
 
@@ -701,7 +745,7 @@ def verify_candidates(
         verify,
         buckets,
         use_exchange=exchange,
-        empty=_EMPTY_VERIFIED,
+        empty=_EMPTY_TRIPLES,
     )
 
 
@@ -715,17 +759,15 @@ def containment_scores(sf_dir: str) -> Dataset:
     fully embedded in a long one scores ~1.0 here but near-0 on Jaccard,
     the asymmetric case Broder's containment was defined for).
 
-    Same 100 TB shape as :func:`near_dup_jaccard`: the session-memoized
-    candidate set and shingle build side feed the bucketed two-hop join;
-    only the final score arithmetic differs (one extra branch in the shared
-    vectorized verify kernel).  Reference has no containment op — this is a
-    training-data-pipeline extension alongside the Jaccard verify
-    (AnalyzeCommand.java has only exact-id aggregation)."""
-    return verify_candidates(
-        sf_dir,
-        _candidate_pairs_ds(sf_dir),
-        threshold=CONTAINMENT_THRESHOLD,
-        score="containment",
+    Same 100 TB shape as :func:`near_dup_jaccard`, and in a sweep the SAME
+    join: both scores are projections of the session-memoized exact triple
+    table (:func:`_verified_triples_cached`), so after a Jaccard run this
+    surface costs one pair-count-sized vectorized pass.  Reference has no
+    containment op — this is a training-data-pipeline extension alongside
+    the Jaccard verify (AnalyzeCommand.java has only exact-id
+    aggregation)."""
+    return _score_triples(
+        _verified_triples_cached(sf_dir), "containment", CONTAINMENT_THRESHOLD
     ).sort(["doc_a", "doc_b"])
 
 
