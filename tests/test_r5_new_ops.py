@@ -84,6 +84,63 @@ def test_containment_kernel_matches_set_reference(tmp_path):
     assert jac.loc[0, "jaccard"] < 0.5  # Jaccard under-scores the same pair
 
 
+def test_verify_scores_hypothesis(tmp_path_factory):
+    """Random corpora: BOTH score projections of the shared triple join
+    equal the per-pair Python set reference over every (i<j) candidate,
+    and jaccard ≤ containment holds pairwise (|A∪B| ≥ min(|A|,|B|)) —
+    pins the triple-table refactor (one join, two projections)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from oplog_analyzer_ray.pipelines.dedup import _shingles, verify_candidates
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs_st = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(docs_st)
+    def check(docs):
+        texts = [" ".join(d) for d in docs]
+        sf = _write_docs(tmp_path_factory.mktemp("vs"), texts)
+        n = len(texts)
+        pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        cands = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                    "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+                }
+            )
+        )
+        sets = [set(_shingles(t)) for t in texts]
+        got = {}
+        for score in ("jaccard", "containment"):
+            df = verify_candidates(sf, cands, threshold=0.0, score=score)
+            df = df.to_pandas().sort_values(["doc_a", "doc_b"])
+            got[score] = dict(
+                zip(zip(df["doc_a"], df["doc_b"]), df[score])
+            )
+        for a, b in pairs:
+            inter = len(sets[a] & sets[b])
+            j = np.floor(inter / len(sets[a] | sets[b]) * 1e6) / 1e6
+            c = np.floor(
+                inter / min(len(sets[a]), len(sets[b])) * 1e6
+            ) / 1e6
+            assert got["jaccard"][(a, b)] == j, (a, b)
+            assert got["containment"][(a, b)] == c, (a, b)
+            assert got["jaccard"][(a, b)] <= got["containment"][(a, b)]
+
+    check()
+
+
 def test_mutual_knn_pairs_are_reciprocal_graph_edges():
     from oplog_analyzer_ray.pipelines.similarity import (
         knn_graph,
