@@ -167,13 +167,8 @@ def split_leakage_report(sf_dir: str) -> Dataset:
 
     import numpy as np
 
-    from .agg import (
-        EXCHANGE_GATE_MAX_BYTES,
-        GroupSpec,
-        grouped,
-        hash_bucket_apply,
-    )
-    from .dedup import _index_in_strict
+    from .agg import GroupSpec, grouped, hash_bucket_apply
+    from .dedup import _index_in_strict, _use_exchange
     from .text import (
         SPLIT_SALT,
         SPLIT_TRAIN_LT,
@@ -183,7 +178,7 @@ def split_leakage_report(sf_dir: str) -> Dataset:
     )
 
     buckets = dyn_buckets(MERGE_BUCKETS)
-    use_ex = documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES
+    use_ex = _use_exchange(sf_dir)
 
     def dec_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows

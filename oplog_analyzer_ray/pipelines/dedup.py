@@ -87,6 +87,12 @@ _CHAIN_CACHE: dict = {}
 CHAIN_CACHE_MAX_BYTES = int(
     __import__("os").environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", int(2e9))
 )
+# one corpus now pins up to ~9 memoized stages (minhash_sigs,
+# candidate_pairs, verify_triples, shingle_side, simhash, quality_int,
+# sessions, emb_pairs, knn_graph); size the FIFO for two corpora so a
+# sweep alternating between a pair of sf dirs never thrashes the
+# expensive materialized chains
+CHAIN_CACHE_MAX_ENTRIES = 18
 
 
 def _chain_cached(
@@ -105,10 +111,9 @@ def _chain_cached(
     ds = _CHAIN_CACHE.get(key)
     if ds is None:
         ds = make().materialize()
-        while len(_CHAIN_CACHE) > 12:
+        while len(_CHAIN_CACHE) >= CHAIN_CACHE_MAX_ENTRIES:
             # evict OLDEST only (dict preserves insertion order) — clearing
-            # the whole cache would thrash the active sf_dir's hot chain in
-            # a sweep that touches >3 corpora (4 stages each)
+            # the whole cache would thrash the active sf_dir's hot chain
             _CHAIN_CACHE.pop(next(iter(_CHAIN_CACHE)))
         _CHAIN_CACHE[key] = ds
     return ds
@@ -1431,10 +1436,10 @@ def dup_rate_by_source(sf_dir: str) -> Dataset:
     per-source finish is a sources-bounded grouped().  Oracle:
     ``oracle.DUP_RATE_BY_SOURCE`` (same recursive-closure decision)."""
     from .agg import hash_bucket_apply
-    from .text import documents_bytes, quality_int_table
+    from .text import quality_int_table
 
     buckets = dyn_buckets(MERGE_BUCKETS)
-    use_ex = documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES
+    use_ex = _use_exchange(sf_dir)
 
     def dec_rows(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1519,55 +1524,20 @@ def near_dup_source_matrix(sf_dir: str) -> Dataset:
     finish is a sources²-bounded grouped().  Oracle:
     ``oracle.NEAR_DUP_SOURCE_MATRIX``."""
     from .agg import hash_bucket_apply
-    from .text import documents_bytes, quality_int_table
+    from .text import quality_int_table
 
     buckets = dyn_buckets(MERGE_BUCKETS)
-    use_ex = documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES
+    use_ex = _use_exchange(sf_dir)
     src = quality_int_table(sf_dir)
 
-    def src_rows(key: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    key: t.column("doc_id"),
-                    "other": pa.array(
-                        np.full(t.num_rows, -1, dtype=np.int64)
-                    ),
-                    "src": t.column("source"),
-                    "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
-                }
-            )
-
-        return fn
-
-    def hop(pairs_tagged: Dataset, key: str, out_cols) -> Dataset:
-        def join(group: pa.Table) -> pa.Table:
-            is_p = pc.equal(group.column("_side"), 0)
-            p = group.filter(is_p)
-            s = group.filter(pc.invert(is_p))
-            idx = _index_in_strict(
-                p.column(key), s.column(key), f"source_matrix.{key}"
-            )
-            cols = {c: p.column(c) for c in out_cols if c in p.column_names}
-            cols[f"src_{key}"] = pc.take(s.column("src"), idx)
-            return pa.table(cols)
-
-        side_s = src.map_batches(src_rows(key), batch_format="pyarrow")
-        return hash_bucket_apply(
-            pairs_tagged.union(side_s),
-            (key,),
-            join,
-            buckets,
-            use_exchange=use_ex,
-            empty=pa.schema(
-                [(c, pa.int64()) for c in out_cols if not c.startswith("src")]
-                + [(f"src_{key}", pa.string())]
-                + (
-                    [("src_doc_a", pa.string())]
-                    if "src_doc_a" in out_cols
-                    else []
-                )
-            ).empty_table(),
+    def src_rows_a(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t.column("doc_id"),
+                "other": pa.array(np.full(t.num_rows, -1, dtype=np.int64)),
+                "src": t.column("source"),
+                "_side": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            }
         )
 
     def tag_pairs(t: pa.Table) -> pa.Table:
@@ -1580,10 +1550,36 @@ def near_dup_source_matrix(sf_dir: str) -> Dataset:
             }
         )
 
-    hop1 = hop(
-        _jaccard_pairs(sf_dir).map_batches(tag_pairs, batch_format="pyarrow"),
-        "doc_a",
-        ("doc_a", "other"),
+    def join_a(group: pa.Table) -> pa.Table:
+        is_p = pc.equal(group.column("_side"), 0)
+        p = group.filter(is_p)
+        s = group.filter(pc.invert(is_p))
+        idx = _index_in_strict(
+            p.column("doc_a"), s.column("doc_a"), "source_matrix.doc_a"
+        )
+        return pa.table(
+            {
+                "doc_a": p.column("doc_a"),
+                "other": p.column("other"),
+                "src_doc_a": pc.take(s.column("src"), idx),
+            }
+        )
+
+    hop1 = hash_bucket_apply(
+        _jaccard_pairs(sf_dir)
+        .map_batches(tag_pairs, batch_format="pyarrow")
+        .union(src.map_batches(src_rows_a, batch_format="pyarrow")),
+        ("doc_a",),
+        join_a,
+        buckets,
+        use_exchange=use_ex,
+        empty=pa.schema(
+            [
+                ("doc_a", pa.int64()),
+                ("other", pa.int64()),
+                ("src_doc_a", pa.string()),
+            ]
+        ).empty_table(),
     )
 
     def retag(t: pa.Table) -> pa.Table:

@@ -1061,9 +1061,25 @@ def session_stats(sf_dir: str) -> Dataset:
                 "sum_cents",
             ),
         ),
+        empty=pa.schema(
+            [("k", pa.int64())]
+            + [
+                (f"sum_{c}", pa.int64())
+                for c in (
+                    "n_sessions",
+                    "n_bounces",
+                    "sum_events",
+                    "sum_dur_us",
+                    "sum_cents",
+                )
+            ]
+        ).empty_table(),
     )
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
+        # zero-sessions guard (empty corpus): the oracle's HAVING
+        # COUNT(*) > 0 yields zero rows; 0/0 here would emit a NaN row
+        df = df[df["sum_n_sessions"] > 0]
         n = df["sum_n_sessions"].to_numpy().astype(np.float64)
         avg_events = (
             df["sum_sum_events"].to_numpy().astype(np.float64) / n

@@ -139,6 +139,20 @@ def _load_queries(
     return df["vec_id"].to_numpy(), q
 
 
+def _top_take(col: np.ndarray, ids: np.ndarray, take: int) -> np.ndarray:
+    """Indices of the top-``take`` entries of ``col`` under the TOTAL order
+    (cos DESC, id ASC).  ``np.argpartition`` alone keeps an ARBITRARY
+    subset of boundary ties, which can locally drop the id-smallest tied
+    neighbor before the finish/merge ranks — real, not theoretical: the
+    embeddings keep bitwise-duplicate vectors in contract, so exactly-equal
+    cosines occur.  O(n) partition finds the boundary value, then an exact
+    lexsort over only the ≥-boundary superset resolves ties."""
+    kth = -np.partition(-col, take - 1)[take - 1]
+    cand = np.flatnonzero(col >= kth)
+    order = np.lexsort((ids[cand], -col[cand]))
+    return cand[order[:take]]
+
+
 def knn_bruteforce(sf_dir: str) -> Dataset:
     """Exact cosine top-10 per query (self excluded); ties broken by
     neighbor_id asc; scores rounded to 6dp for cross-engine comparison."""
@@ -158,7 +172,7 @@ def knn_bruteforce(sf_dir: str) -> Dataset:
             mask = vid != qid
             cand_idx = np.flatnonzero(mask)
             take = min(TOP_K, cand_idx.size)
-            sel = cand_idx[np.argpartition(-col[cand_idx], take - 1)[:take]]
+            sel = cand_idx[_top_take(col[cand_idx], vid[cand_idx], take)]
             out.append(
                 pd.DataFrame(
                     {"query_id": qid, "neighbor_id": vid[sel], "cos_raw": col[sel]}
@@ -218,7 +232,7 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> Dataset:
             col = mn[mask] @ qn[j]
             sub_vid = vid[mask]
             take = min(TOP_K, col.size)
-            sel = np.argpartition(-col, take - 1)[:take]
+            sel = _top_take(col, sub_vid, take)
             out.append(
                 pd.DataFrame(
                     {"query_id": qid, "neighbor_id": sub_vid[sel], "cos_raw": col[sel]}
@@ -526,13 +540,25 @@ def _knn_graph_uncached(sf_dir: str, k: int, n_chunks: int | None) -> Dataset:
                 self_col = np.searchsorted(col_ids, r_ids)
                 hit = col_ids[np.minimum(self_col, len(col_ids) - 1)] == r_ids
                 strip[np.flatnonzero(hit), self_col[hit]] = -np.inf
-            part = np.argpartition(-strip, kk - 1, axis=1)[:, :kk]
-            rr = np.repeat(np.arange(strip.shape[0]), kk)
+            # tie-SAFE local top-k under the global (cos DESC, id ASC)
+            # order: partition finds each row's boundary value, then the
+            # boundary-tie superset is exploded and lexsorted exactly —
+            # argpartition alone keeps an arbitrary kk among equal cosines
+            # (bitwise-duplicate vectors are kept in contract), which could
+            # drop the id-smallest tied neighbor before the global merge.
+            kth = -np.partition(-strip, kk - 1, axis=1)[:, kk - 1 : kk]
+            r_idx, c_idx = np.nonzero(strip >= kth)
+            cs, ids = strip[r_idx, c_idx], col_ids[c_idx]
+            order = np.lexsort((ids, -cs, r_idx))
+            r_s = r_idx[order]
+            counts = np.bincount(r_s, minlength=strip.shape[0])
+            pos = np.arange(len(r_s)) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            keep = pos < kk
             out.append(
                 _cand_frame(
-                    row_ids[s + rr],
-                    col_ids[part.ravel()],
-                    strip[rr, part.ravel()],
+                    row_ids[s + r_s[keep]], ids[order][keep], cs[order][keep]
                 )
             )
         return pd.concat(out, ignore_index=True)
@@ -846,7 +872,7 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
             col = mn[mask] @ qn[j]
             sub_vid = vid[mask]
             take = min(TOP_K, col.size)
-            sel = np.argpartition(-col, take - 1)[:take]
+            sel = _top_take(col, sub_vid, take)
             out.append(
                 pd.DataFrame(
                     {"query_id": qid, "neighbor_id": sub_vid[sel], "cos_raw": col[sel]}

@@ -930,13 +930,14 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
             }
         )
 
-    from .agg import EXCHANGE_GATE_MAX_BYTES, hash_bucket_apply
+    from .agg import hash_bucket_apply
+    from .dedup import _use_exchange
 
     return hash_bucket_apply(
         cnt,
         ("_rng",),
         scan,
-        use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
+        use_exchange=_use_exchange(sf_dir),
     ).sort(["doc_id"])
 
 
@@ -1089,13 +1090,14 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import EXCHANGE_GATE_MAX_BYTES, hash_bucket_apply
+    from .agg import hash_bucket_apply
+    from .dedup import _use_exchange
 
     return hash_bucket_apply(
         tbl.map_batches(prune, batch_format="pandas"),
         ("q_int",),
         scan,
-        use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
+        use_exchange=_use_exchange(sf_dir),
     ).sort(["doc_id"])
 
 
@@ -1119,12 +1121,8 @@ def source_budget_allocation(sf_dir: str) -> Dataset:
     integer math (oracle.SOURCE_BUDGET_ALLOCATION)."""
     import pyarrow as pa
 
-    from .agg import (
-        EXCHANGE_GATE_MAX_BYTES,
-        GroupSpec,
-        grouped,
-        hash_bucket_apply,
-    )
+    from .agg import GroupSpec, grouped, hash_bucket_apply
+    from .dedup import _use_exchange
 
     tbl = quality_int_table(sf_dir)  # session-memoized int rows (has source)
 
@@ -1208,7 +1206,7 @@ def source_budget_allocation(sf_dir: str) -> Dataset:
         tbl.map_batches(prune, batch_format="pandas"),
         ("source", "q_int"),
         scan,
-        use_exchange=documents_bytes(sf_dir) <= EXCHANGE_GATE_MAX_BYTES,
+        use_exchange=_use_exchange(sf_dir),
         empty=empty,
     ).sort(["doc_id"])
 

@@ -84,6 +84,50 @@ def test_containment_kernel_matches_set_reference(tmp_path):
     assert jac.loc[0, "jaccard"] < 0.5  # Jaccard under-scores the same pair
 
 
+def test_local_topk_tie_break_keeps_smallest_ids(tmp_path):
+    """Boundary-tie regression for the kNN family's LOCAL prunes: with
+    more bitwise-duplicate vectors than k, every local top-k must keep the
+    id-SMALLEST tied neighbors (the global (cos DESC, id ASC) order), not
+    an arbitrary argpartition subset — and the graph must not vary with
+    n_chunks."""
+    from oplog_analyzer_ray.pipelines.similarity import (
+        K_GRAPH,
+        _top_take,
+        knn_graph,
+    )
+
+    # direct kernel pin: 5 candidates tied at cos=1.0, take 3 → ids 0,1,2
+    col = np.array([1.0, 1.0, 0.5, 1.0, 1.0, 1.0])
+    ids = np.array([7, 3, 9, 5, 0, 1])
+    sel = _top_take(col, ids, 3)
+    assert sorted(ids[sel].tolist()) == [0, 1, 3]
+
+    # end-to-end: K_GRAPH+3 copies of one vector + a few distinct others
+    dup = np.array([1.0, 0.0, 0.0, 0.0])
+    others = np.eye(4)[1:]  # orthogonal to dup
+    vecs = [dup] * (K_GRAPH + 3) + list(others)
+    n = len(vecs)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    for n_chunks in (1, 3):
+        g = knn_graph(str(tmp_path), n_chunks=n_chunks).to_pandas()
+        for vid in range(K_GRAPH + 3):
+            nbrs = g[g["vec_id"] == vid]["neighbor_id"].tolist()
+            # every duplicate's neighbors = the K_GRAPH id-smallest OTHER
+            # duplicates (cos 1.0 beats the orthogonal others' 0.0)
+            want = [
+                i for i in range(K_GRAPH + 3) if i != vid
+            ][:K_GRAPH]
+            assert nbrs == want, (n_chunks, vid, nbrs)
+
+
 def test_verify_scores_hypothesis(tmp_path_factory):
     """Random corpora: BOTH score projections of the shared triple join
     equal the per-pair Python set reference over every (i<j) candidate,
@@ -184,6 +228,28 @@ def test_concurrent_sessions_matches_pandas_explode():
     )
     got = concurrent_sessions(SF_DIR).to_pandas()
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_session_stats_empty_corpus_yields_zero_rows(tmp_path):
+    """Empty events corpus: the oracle's HAVING COUNT(*) > 0 yields zero
+    rows, so the engine must too (not a single 0/0 = NaN row)."""
+    from oplog_analyzer_ray.pipelines.events import session_stats
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    got = session_stats(str(tmp_path)).to_pandas()
+    assert len(got) == 0
 
 
 def test_lang_confusion_is_lang_id_crosstab():
