@@ -31,6 +31,29 @@ N_QUERIES = 5  # queries = vec_id 0..4
 TOP_K = 10
 LSH_PLANES = 6
 
+def _cand_table(parts: list) -> pa.Table:
+    """Assemble per-query candidate slices ``(qid, neighbor_ids, cos)`` into
+    one metadata-free Arrow table.  The knn local-topk stages return this
+    (not a pandas frame) so the blocks entering ``_knn_finish``'s
+    ``repartition(1)`` carry a hashable Arrow schema — pandas block schemas
+    hold dict-typed metadata that Ray's reduce-side schema dedup cannot
+    hash, flooding stderr with warnings."""
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos_raw": pa.array([], pa.float64()),
+            }
+        )
+    qid = np.concatenate(
+        [np.full(len(v), q, dtype=np.int64) for q, v, _ in parts]
+    )
+    nid = np.concatenate([v for _, v, _ in parts]).astype(np.int64)
+    cos = np.concatenate([c for _, _, c in parts]).astype(np.float64)
+    return pa.table({"query_id": qid, "neighbor_id": nid, "cos_raw": cos})
+
+
 def _knn_finish(cands: Dataset) -> Dataset:
     """Final exact merge for the knn family, in the dataset plane: the
     bounded candidate set (blocks × k × q rows — a few thousand) coalesces
@@ -42,16 +65,19 @@ def _knn_finish(cands: Dataset) -> Dataset:
     The single-task plan is exact because q (the query batch) is small by
     contract; a large query batch would shard this by query_id instead."""
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
+    def finish(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(
             ["query_id", "cos_raw", "neighbor_id"],
             ascending=[True, False, True],
         )
         top = df.groupby("query_id", sort=True).head(TOP_K)
-        return pd.DataFrame(
+        # Metadata-free Arrow out: downstream consumers (ann_recall_report)
+        # repartition these blocks, and schemas carrying pandas metadata
+        # are unhashable in Ray's reduce-side schema dedup.
+        return pa.table(
             {
-                "query_id": top["query_id"].to_numpy(),
-                "neighbor_id": top["neighbor_id"].to_numpy(),
+                "query_id": top["query_id"].to_numpy().astype(np.int64),
+                "neighbor_id": top["neighbor_id"].to_numpy().astype(np.int64),
                 "cos": np.floor(top["cos_raw"].to_numpy() * 1e6) / 1e6,
             }
         )
@@ -173,12 +199,8 @@ def knn_bruteforce(sf_dir: str) -> Dataset:
             cand_idx = np.flatnonzero(mask)
             take = min(TOP_K, cand_idx.size)
             sel = cand_idx[_top_take(col[cand_idx], vid[cand_idx], take)]
-            out.append(
-                pd.DataFrame(
-                    {"query_id": qid, "neighbor_id": vid[sel], "cos_raw": col[sel]}
-                )
-            )
-        return pd.concat(out, ignore_index=True)
+            out.append((qid, vid[sel], col[sel]))
+        return _cand_table(out)
 
     return _knn_finish(
         read_embeddings(sf_dir).map_batches(local_topk, batch_format="pandas")
@@ -233,18 +255,8 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> Dataset:
             sub_vid = vid[mask]
             take = min(TOP_K, col.size)
             sel = _top_take(col, sub_vid, take)
-            out.append(
-                pd.DataFrame(
-                    {"query_id": qid, "neighbor_id": sub_vid[sel], "cos_raw": col[sel]}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "neighbor_id": pd.Series([], dtype="int64"),
-                 "cos_raw": pd.Series([], dtype="float64")}
-            )
-        return pd.concat(out, ignore_index=True)
+            out.append((qid, sub_vid[sel], col[sel]))
+        return _cand_table(out)
 
     return _knn_finish(
         read_embeddings(sf_dir).map_batches(local_topk, batch_format="pandas")
@@ -873,18 +885,8 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
             sub_vid = vid[mask]
             take = min(TOP_K, col.size)
             sel = _top_take(col, sub_vid, take)
-            out.append(
-                pd.DataFrame(
-                    {"query_id": qid, "neighbor_id": sub_vid[sel], "cos_raw": col[sel]}
-                )
-            )
-        if not out:
-            return pd.DataFrame(
-                {"query_id": pd.Series([], dtype="int64"),
-                 "neighbor_id": pd.Series([], dtype="int64"),
-                 "cos_raw": pd.Series([], dtype="float64")}
-            )
-        return pd.concat(out, ignore_index=True)
+            out.append((qid, sub_vid[sel], col[sel]))
+        return _cand_table(out)
 
     return _knn_finish(
         read_embeddings(sf_dir).map_batches(local_topk, batch_format="pandas")
