@@ -87,12 +87,12 @@ _CHAIN_CACHE: dict = {}
 CHAIN_CACHE_MAX_BYTES = int(
     __import__("os").environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", int(2e9))
 )
-# one corpus now pins up to ~9 memoized stages (minhash_sigs,
-# candidate_pairs, verify_triples, shingle_side, simhash, quality_int,
-# sessions, emb_pairs, knn_graph); size the FIFO for two corpora so a
-# sweep alternating between a pair of sf dirs never thrashes the
-# expensive materialized chains
-CHAIN_CACHE_MAX_ENTRIES = 18
+# one corpus pins up to 10 memoized stages (minhash_sigs, candidate_pairs,
+# verify_triples, shingle_side, dedup_decision, simhash, quality_int,
+# sessions, emb_pairs, knn_graph); size the FIFO for two corpora PLUS
+# headroom so a sweep alternating between a pair of sf dirs never evicts
+# an expensive materialized chain mid-cycle
+CHAIN_CACHE_MAX_ENTRIES = 24
 
 
 def _chain_cached(
@@ -535,12 +535,13 @@ def near_dup_jaccard(sf_dir: str) -> Dataset:
 
 
 def _jaccard_pairs(sf_dir: str) -> Dataset:
-    """Session-memoized verified near-dup pair set (see ``_chain_cached``) —
-    consumed by ``near_dup_jaccard``, ``dedup_decision`` and
-    ``curate.curated_corpus`` without re-running the LSH→verify chain."""
-    return _chain_cached(
-        sf_dir, "jaccard_pairs", lambda: _jaccard_pairs_uncached(sf_dir)
-    )
+    """Verified near-dup pair set — consumed by ``near_dup_jaccard``,
+    ``dedup_decision``, ``minhash_est_error`` and ``curate.curated_corpus``.
+    NOT separately memoized: it is a cheap fused projection over the
+    session-memoized triple table (:func:`_verified_triples_cached`), so
+    caching it too would double-store pair-sized data and burn a FIFO slot
+    for a map that costs microseconds per consumer."""
+    return _jaccard_pairs_uncached(sf_dir)
 
 
 def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
@@ -556,15 +557,34 @@ def _jaccard_pairs_uncached(sf_dir: str) -> Dataset:
 
 def _verified_triples_cached(sf_dir: str) -> Dataset:
     """Session-memoized exact ``(doc_a, doc_b, inter, len_a, len_b)`` for
-    every LSH candidate pair — ONE doc_id-bucketed two-hop shingle join
+    the LSH candidate pairs — ONE doc_id-bucketed two-hop shingle join
     (the chain's most expensive stage) feeds every set-similarity measure;
     the scores are cheap vectorized projections of the integer triple.
-    Pair-count-sized (candidates are rare by LSH construction), so the
-    cache cost matches the old scored-pair cache + 3 int64 columns."""
+
+    The cached table is PRE-FILTERED to ``containment ≥
+    min(JACCARD_THRESHOLD, CONTAINMENT_THRESHOLD)``: containment
+    (inter/min) ≥ jaccard (inter/union) for every pair — float division is
+    monotonic in a positive denominator — so the floor keeps exactly the
+    pairs either cached projection can emit while dropping the
+    below-every-threshold LSH false positives that would otherwise pin
+    candidate-count-sized (not survivor-sized) data in the object store.
+    Any NEW projection over this cache must score with a threshold ≥ the
+    floor, or join :func:`_verify_triples` directly (uncached)."""
+    floor = min(JACCARD_THRESHOLD, CONTAINMENT_THRESHOLD)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy(zero_copy_only=False)
+        len_a = t.column("len_a").to_numpy(zero_copy_only=False)
+        len_b = t.column("len_b").to_numpy(zero_copy_only=False)
+        cont = inter / np.minimum(len_a, len_b)
+        return t.take(pa.array(np.flatnonzero(cont >= floor)))
+
     return _chain_cached(
         sf_dir,
         "verify_triples",
-        lambda: _verify_triples(sf_dir, _candidate_pairs_ds(sf_dir)),
+        lambda: _verify_triples(
+            sf_dir, _candidate_pairs_ds(sf_dir)
+        ).map_batches(prefilter, batch_format="pyarrow"),
     )
 
 

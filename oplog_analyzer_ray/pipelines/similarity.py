@@ -173,6 +173,8 @@ def _top_take(col: np.ndarray, ids: np.ndarray, take: int) -> np.ndarray:
     embeddings keep bitwise-duplicate vectors in contract, so exactly-equal
     cosines occur.  O(n) partition finds the boundary value, then an exact
     lexsort over only the ≥-boundary superset resolves ties."""
+    if take <= 0:  # a block can hold only the query row itself
+        return np.empty(0, dtype=np.intp)
     kth = -np.partition(-col, take - 1)[take - 1]
     cand = np.flatnonzero(col >= kth)
     order = np.lexsort((ids[cand], -col[cand]))
@@ -186,7 +188,7 @@ def knn_bruteforce(sf_dir: str) -> Dataset:
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qref = ray.put((qids, qnorm))
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(df: pd.DataFrame) -> pa.Table:
         ids, qn = ray.get(qref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
@@ -240,7 +242,7 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> Dataset:
         probe_sets.append(s)
     qref = ray.put((qids, qnorm, planes, probe_sets))
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(df: pd.DataFrame) -> pa.Table:
         ids, qn, pl, psets = ray.get(qref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         buckets = _bucket_ids(m, pl)
@@ -542,6 +544,11 @@ def _knn_graph_uncached(sf_dir: str, k: int, n_chunks: int | None) -> Dataset:
         kk = min(k, len(col_ids) - (1 if exclude_self else 0))
         if kk <= 0 or not len(row_ids):
             return _cand_frame([], [], [])
+        # the bounded tie selection below ranks ==boundary ties by column
+        # POSITION, so columns must be in id-ASC order (no-op for the
+        # within-chunk block, whose both axes arrive pre-sorted)
+        corder = np.argsort(col_ids)
+        col_ids, cols_m = col_ids[corder], cols_m[corder]
         out = []
         for s in range(0, len(row_ids), EMB_TILE):
             strip = rows_m[s : s + EMB_TILE] @ cols_m.T
@@ -553,24 +560,27 @@ def _knn_graph_uncached(sf_dir: str, k: int, n_chunks: int | None) -> Dataset:
                 hit = col_ids[np.minimum(self_col, len(col_ids) - 1)] == r_ids
                 strip[np.flatnonzero(hit), self_col[hit]] = -np.inf
             # tie-SAFE local top-k under the global (cos DESC, id ASC)
-            # order: partition finds each row's boundary value, then the
-            # boundary-tie superset is exploded and lexsorted exactly —
-            # argpartition alone keeps an arbitrary kk among equal cosines
-            # (bitwise-duplicate vectors are kept in contract), which could
-            # drop the id-smallest tied neighbor before the global merge.
+            # order: partition finds each row's boundary value; entries
+            # STRICTLY above it are top-kk unconditionally (at most kk-1 of
+            # them), and the remaining slots go to the id-smallest ==kth
+            # ties — columns are pre-sorted by id ASC, so a cumsum over the
+            # tie mask ranks ties in id order with BOUNDED memory (a dense
+            # mask pass, never the exploded ≥-superset: on a duplicate-heavy
+            # chunk where every cosine ties, the old nonzero(strip >= kth)
+            # materialized ~rows×cols index/score arrays + an O(E log E)
+            # lexsort; this path stays O(rows×cols) flat).  argpartition
+            # alone keeps an ARBITRARY kk among equal cosines (bitwise-
+            # duplicate vectors are kept in contract), which could drop the
+            # id-smallest tied neighbor before the global merge.
             kth = -np.partition(-strip, kk - 1, axis=1)[:, kk - 1 : kk]
-            r_idx, c_idx = np.nonzero(strip >= kth)
-            cs, ids = strip[r_idx, c_idx], col_ids[c_idx]
-            order = np.lexsort((ids, -cs, r_idx))
-            r_s = r_idx[order]
-            counts = np.bincount(r_s, minlength=strip.shape[0])
-            pos = np.arange(len(r_s)) - np.repeat(
-                np.cumsum(counts) - counts, counts
-            )
-            keep = pos < kk
+            strict = strip > kth
+            ties = strip == kth
+            slots = kk - strict.sum(axis=1, keepdims=True)  # ≥ 1 by defn
+            tie_rank = np.cumsum(ties, axis=1, dtype=np.int32)
+            r_idx, c_idx = np.nonzero(strict | (ties & (tie_rank <= slots)))
             out.append(
                 _cand_frame(
-                    row_ids[s + r_s[keep]], ids[order][keep], cs[order][keep]
+                    row_ids[s + r_idx], col_ids[c_idx], strip[r_idx, c_idx]
                 )
             )
         return pd.concat(out, ignore_index=True)
@@ -870,7 +880,7 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
     probes = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
     qref = ray.put((qids, qnorm, cents, probes))
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(df: pd.DataFrame) -> pa.Table:
         ids, qn, ce, pr = ray.get(qref)
         m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)

@@ -267,3 +267,30 @@ def test_lang_confusion_is_lang_id_crosstab():
     got = lang_confusion(SF_DIR).to_pandas()
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
     assert got["n_docs"].sum() == len(per_doc)
+
+
+def test_top_take_empty_candidates_and_single_row_corpus(tmp_path):
+    """take=0 regression: a block holding ONLY the query row leaves zero
+    candidates after self-exclusion — _top_take must return an empty
+    selection (np.partition(kth=-1) on an empty array raised), and
+    knn_bruteforce over a 1-vector corpus must yield an empty result
+    instead of killing the job."""
+    from oplog_analyzer_ray.pipelines.similarity import (
+        _top_take,
+        knn_bruteforce,
+    )
+
+    sel = _top_take(np.array([], np.float64), np.array([], np.int64), 0)
+    assert sel.size == 0
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array(
+                [np.array([1.0, 0.0], np.float32)], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = knn_bruteforce(str(tmp_path)).to_pandas()
+    assert len(out) == 0
