@@ -216,6 +216,26 @@ def _final_names(spec: GroupSpec) -> dict[str, str]:
     return names
 
 
+def final_empty(spec: GroupSpec, types: dict[str, "pa.DataType"]) -> pa.Table:
+    """Zero-row FINAL-schema table for ``grouped(spec, ...)``'s ``empty=``,
+    derived from the spec so call sites only supply source-column dtypes:
+    ``types`` maps each key column and each aggregated SOURCE column to the
+    dtype the merge emits for it (sum/min/max preserve the input type for
+    int64/float64/timestamp inputs; ``cnt``/``cntv_*`` are always int64).
+    Filter-heavy operators whose input can legitimately empty out (no
+    purchases, no matching rows) pass this so a fully-empty input yields a
+    typed zero-row result instead of the all-shards-schema-less
+    ValueError."""
+    fields = [(k, types[k]) for k in spec.keys]
+    if spec.count:
+        fields.append(("cnt", pa.int64()))
+    fields += [(f"sum_{c}", types[c]) for c in spec.sum_cols]
+    fields += [(f"min_{c}", types[c]) for c in spec.min_cols]
+    fields += [(f"max_{c}", types[c]) for c in spec.max_cols]
+    fields += [(f"cntv_{c}", pa.int64()) for c in spec.count_valid]
+    return pa.schema(fields).empty_table()
+
+
 def _pick_spec(t: pa.Table, spec_idx: int | None, cols: list[str] | None):
     """Inside-task projection for grouped_multi's union-schema partials:
     keep one spec's rows/columns.  No-op for single-spec grouped()."""

@@ -23,8 +23,6 @@ Both have exact DuckDB oracles (window functions / date_trunc).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -33,7 +31,17 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data import Dataset
 
-from .agg import GroupSpec, grouped
+from .agg import GroupSpec, final_empty, grouped
+
+
+def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Append one typed zero-row block.  Ray skips map UDFs on empty blocks
+    (and drops the schema of all-empty map outputs), so an operator whose
+    input legitimately empties out — no purchases, a zero-row corpus —
+    would otherwise surface a schema-LESS result that breaks downstream
+    sort/select and the operator's documented output contract.  The pin
+    costs one 0-row block and nothing else."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
 
 SESSION_GAP_S = 7200  # new session when idle > 2h
 SESSION_ROWS_PER_BUCKET = 500_000  # per-task slice ceiling
@@ -210,8 +218,15 @@ def _sessionization_uncached(sf_dir: str, n_buckets: int | None) -> Dataset:
         ]
 
     ev = read_events(sf_dir, ["user_id", "ts", "value"])
-    return _user_bucket_apply(sf_dir, ev, sessions, buckets).sort(
-        ["user_id", "session_id"]
+    return _pin_schema(
+        _user_bucket_apply(sf_dir, ev, sessions, buckets).sort(
+            ["user_id", "session_id"]
+        ),
+        pa.schema(
+            [("user_id", pa.int64()), ("session_id", pa.int64()),
+             ("n_events", pa.int64()), ("start_ts", pa.timestamp("us")),
+             ("end_ts", pa.timestamp("us")), ("sum_value", pa.float64())]
+        ),
     )
 
 
@@ -284,7 +299,15 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     ev = read_events(
         sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
     ).map_batches(pick, batch_format="pandas")
-    return _user_bucket_apply(sf_dir, ev, asof, buckets).sort(["event_id"])
+    return _pin_schema(
+        _user_bucket_apply(sf_dir, ev, asof, buckets).sort(["event_id"]),
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("ts", pa.timestamp("us")), ("value", pa.float64()),
+             ("click_event_id", pa.int64()),
+             ("click_ts", pa.timestamp("us")), ("gap_us", pa.int64())]
+        ),
+    )
 
 
 def tumbling_window(sf_dir: str) -> Dataset:
@@ -304,7 +327,16 @@ def tumbling_window(sf_dir: str) -> Dataset:
     ev = read_events(sf_dir, ["event_type", "ts", "value"]).map_batches(
         add_day, batch_format="pyarrow"
     )
-    g = grouped(ev, GroupSpec(keys=("event_type", "day"), sum_cols=("cents",)))
+    spec = GroupSpec(keys=("event_type", "day"), sum_cols=("cents",))
+    g = grouped(
+        ev,
+        spec,
+        empty=final_empty(
+            spec,
+            {"event_type": pa.string(), "day": pa.timestamp("us"),
+             "cents": pa.int64()},
+        ),
+    )
 
     def post(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -318,7 +350,16 @@ def tumbling_window(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["event_type", "day"])
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.timestamp("us")),
+         ("cnt", pa.int64()), ("sum_value", pa.float64())]
+    )
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["event_type", "day"]
+        ),
+        out_schema,
+    )
 
 
 SLIDE_WINDOW_DAYS = 7
@@ -363,7 +404,16 @@ def sliding_window(sf_dir: str) -> Dataset:
     ev = read_events(sf_dir, ["event_type", "ts", "value"]).map_batches(
         explode, batch_format="pyarrow"
     )
-    g = grouped(ev, GroupSpec(keys=("event_type", "window_start"), sum_cols=("cents",)))
+    spec = GroupSpec(keys=("event_type", "window_start"), sum_cols=("cents",))
+    g = grouped(
+        ev,
+        spec,
+        empty=final_empty(
+            spec,
+            {"event_type": pa.string(), "window_start": pa.timestamp("us"),
+             "cents": pa.int64()},
+        ),
+    )
 
     def post(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -377,8 +427,15 @@ def sliding_window(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(
-        ["event_type", "window_start"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+         ("cnt", pa.int64()), ("sum_value", pa.float64())]
+    )
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["event_type", "window_start"]
+        ),
+        out_schema,
     )
 
 
@@ -429,9 +486,15 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
         reach,
         buckets,
     )
+    spec = GroupSpec(keys=("stage", "event_type"), count=False, sum_cols=("users",))
     g = grouped(
         partial,
-        GroupSpec(keys=("stage", "event_type"), count=False, sum_cols=("users",)),
+        spec,
+        empty=final_empty(
+            spec,
+            {"stage": pa.int64(), "event_type": pa.string(),
+             "users": pa.int64()},
+        ),
     )
     refs = g.to_arrow_refs()
     tables = [t for t in ray.get(refs) if t.num_rows] if refs else []
@@ -510,17 +573,27 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
         out["users"] = out["users"].astype("int64")
         return out
 
+    spec = GroupSpec(
+        keys=("cohort_week", "week_offset"), count=False, sum_cols=("users",)
+    )
     g = grouped(
         _user_bucket_apply(
             sf_dir, read_events(sf_dir, ["user_id", "ts"]), cells, buckets
         ),
-        GroupSpec(
-            keys=("cohort_week", "week_offset"), count=False, sum_cols=("users",)
+        spec,
+        empty=final_empty(
+            spec,
+            {"cohort_week": pa.int64(), "week_offset": pa.int64(),
+             "users": pa.int64()},
         ),
     )
     import ray
 
-    t = pa.concat_tables(ray.get(g.to_arrow_refs()))
+    # schema-less empties can ride along in the sort-fallback plan; the
+    # typed empty= block guarantees at least one schema-ful table remains
+    t = pa.concat_tables(
+        [b for b in ray.get(g.to_arrow_refs()) if b.num_columns]
+    )
     df = t.to_pandas().sort_values(["cohort_week", "week_offset"])
     base = (
         df[df["week_offset"] == 0]
@@ -564,10 +637,6 @@ def approx_distinct_users(sf_dir: str) -> Dataset:
     int rows; the final unique-sort-kth runs on that driver-side by design.
     The md5 loop is per DISTINCT user per block (the minhash oracle-parity
     pattern)."""
-    import hashlib
-
-    import numpy as np
-
     import ray
 
     def local_kmin(df: pd.DataFrame) -> pd.DataFrame:
@@ -607,9 +676,6 @@ def approx_distinct_users_by_type(sf_dir: str) -> Dataset:
     group task finishes its own sketch.  Same deterministic estimate
     contract as :func:`approx_distinct_users` (oracle-exact, exact count
     below k)."""
-    import hashlib
-
-    import numpy as np
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
@@ -638,12 +704,17 @@ def approx_distinct_users_by_type(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
+    return _pin_schema(
         read_events(sf_dir, ["user_id", "event_type"])
         .map_batches(local, batch_format="pandas")
         .groupby("event_type")
         .map_groups(finish, batch_format="pandas")
-        .sort("event_type")
+        .sort("event_type"),
+        pa.schema(
+            [("event_type", pa.string()), ("k", pa.int64()),
+             ("n_seen", pa.int64()), ("kth_hash", pa.int64()),
+             ("est_distinct", pa.int64())]
+        ),
     )
 
 
@@ -666,14 +737,21 @@ def daily_active_users(sf_dir: str) -> Dataset:
             }
         )
 
+    l1 = GroupSpec(keys=("day", "user_id"))
     per_user = grouped(
         read_events(sf_dir, ["ts", "user_id"]).map_batches(
             add_day, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("day", "user_id")),
+        l1,
+        empty=final_empty(
+            l1, {"day": pa.timestamp("us"), "user_id": pa.int64()}
+        ),
     )
+    l2 = GroupSpec(keys=("day",), count=True, sum_cols=("cnt",))
     g = grouped(
-        per_user, GroupSpec(keys=("day",), count=True, sum_cols=("cnt",))
+        per_user,
+        l2,
+        empty=final_empty(l2, {"day": pa.timestamp("us"), "cnt": pa.int64()}),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -685,7 +763,13 @@ def daily_active_users(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["day"])
+    out_schema = pa.schema(
+        [("day", pa.timestamp("us")), ("dau", pa.int64()),
+         ("n_events", pa.int64())]
+    )
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["day"]), out_schema
+    )
 
 
 def props_value_stats(sf_dir: str) -> Dataset:
@@ -706,15 +790,19 @@ def props_value_stats(sf_dir: str) -> Dataset:
             }
         )
 
+    spec = GroupSpec(
+        keys=("event_type",),
+        sum_cols=("k",),
+        min_cols=("k",),
+        max_cols=("k",),
+    )
     g = grouped(
         read_events(sf_dir, ["event_type", "props"]).map_batches(
             extract, batch_format="pyarrow"
         ),
-        GroupSpec(
-            keys=("event_type",),
-            sum_cols=("k",),
-            min_cols=("k",),
-            max_cols=("k",),
+        spec,
+        empty=final_empty(
+            spec, {"event_type": pa.string(), "k": pa.int64()}
         ),
     )
 
@@ -729,7 +817,14 @@ def props_value_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["event_type"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["event_type"]),
+        pa.schema(
+            [("event_type", pa.string()), ("cnt", pa.int64()),
+             ("sum_k", pa.int64()), ("min_k", pa.int64()),
+             ("max_k", pa.int64())]
+        ),
+    )
 
 
 # ------------------------------------------------- co-occurrence / anomalies
@@ -786,9 +881,13 @@ def event_type_cooccurrence(sf_dir: str) -> Dataset:
     from .agg import hash_bucket_apply
     from .corpus import corpus_bytes
 
+    l1 = GroupSpec(keys=("user_id", "event_type"))
     distinct = grouped(
         read_events(sf_dir, ["user_id", "event_type"]),
-        GroupSpec(keys=("user_id", "event_type")),
+        l1,
+        empty=final_empty(
+            l1, {"user_id": pa.int64(), "event_type": pa.string()}
+        ),
     )
     pairs = hash_bucket_apply(
         distinct,
@@ -798,9 +897,15 @@ def event_type_cooccurrence(sf_dir: str) -> Dataset:
         use_exchange=corpus_bytes(sf_dir, "events") <= EVENTS_EXCHANGE_MAX_BYTES,
         empty=_COOC_SCHEMA.empty_table(),
     )
+    l2 = GroupSpec(keys=("type_a", "type_b"), count=False, sum_cols=("n_users",))
     g = grouped(
         pairs,
-        GroupSpec(keys=("type_a", "type_b"), count=False, sum_cols=("n_users",)),
+        l2,
+        empty=final_empty(
+            l2,
+            {"type_a": pa.string(), "type_b": pa.string(),
+             "n_users": pa.int64()},
+        ),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -812,7 +917,15 @@ def event_type_cooccurrence(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["type_a", "type_b"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["type_a", "type_b"]
+        ),
+        pa.schema(
+            [("type_a", pa.string()), ("type_b", pa.string()),
+             ("n_users", pa.int64())]
+        ),
+    )
 
 
 def daily_anomalies(sf_dir: str) -> Dataset:
@@ -840,11 +953,15 @@ def daily_anomalies(sf_dir: str) -> Dataset:
             }
         )
 
+    spec = GroupSpec(keys=("event_type", "day"))
     per_day = grouped(
         read_events(sf_dir, ["event_type", "ts"]).map_batches(
             add_day, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("event_type", "day")),
+        spec,
+        empty=final_empty(
+            spec, {"event_type": pa.string(), "day": pa.timestamp("us")}
+        ),
     )
 
     def fin(df: pd.DataFrame) -> pa.Table:
@@ -865,10 +982,15 @@ def daily_anomalies(sf_dir: str) -> Dataset:
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("day", pa.timestamp("us")),
+         ("cnt", pa.int64()), ("z", pa.float64())]
+    )
+    return _pin_schema(
         per_day.groupby("event_type")
         .map_groups(fin, batch_format="pandas")
-        .sort(["event_type", "day"])
+        .sort(["event_type", "day"]),
+        out_schema,
     )
 
 
@@ -890,11 +1012,17 @@ def hourly_activity(sf_dir: str) -> Dataset:
             }
         )
 
+    spec = GroupSpec(keys=("event_type", "hour"), sum_cols=("cents",))
     g = grouped(
         read_events(sf_dir, ["event_type", "ts", "value"]).map_batches(
             add_hour, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("event_type", "hour"), sum_cols=("cents",)),
+        spec,
+        empty=final_empty(
+            spec,
+            {"event_type": pa.string(), "hour": pa.int64(),
+             "cents": pa.int64()},
+        ),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -909,8 +1037,15 @@ def hourly_activity(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(
-        ["event_type", "hour"]
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("hour", pa.int64()),
+         ("cnt", pa.int64()), ("sum_value", pa.float64())]
+    )
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["event_type", "hour"]
+        ),
+        out_schema,
     )
 
 
@@ -932,20 +1067,38 @@ def power_users(sf_dir: str) -> Dataset:
     discipline as ``size_percentiles``); pass 2 re-derives the per-user
     counts and filters.  No per-user driver state at any scale.  Oracle:
     ``oracle.POWER_USERS`` (identical integer threshold rule)."""
-    def counts() -> Dataset:
-        g = grouped(
-            read_events(sf_dir, ["user_id"]), GroupSpec(keys=("user_id",))
-        )
-        return g.map_batches(
-            lambda t: pa.table(
-                {"user_id": t.column("user_id"), "n_events": t.column("cnt")}
-            ),
-            batch_format="pyarrow",
-        )
+    per_user = GroupSpec(keys=("user_id",))
+    counts = grouped(
+        read_events(sf_dir, ["user_id"]),
+        per_user,
+        empty=final_empty(per_user, {"user_id": pa.int64()}),
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"), "n_events": t.column("cnt")}
+        ),
+        batch_format="pyarrow",
+    )
+    out_schema = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64())])
+    # materialized ONCE: both the threshold histogram and the final filter
+    # consume this (user, count) table — re-deriving it would pay a second
+    # full corpus scan + grouped() merge (same two-consumer discipline as
+    # user_churn's materialize)
+    counts = _pin_schema(counts, out_schema).materialize()
+    import ray
 
+    hspec = GroupSpec(keys=("n_events",))
+    hist_ds = grouped(
+        counts, hspec, empty=final_empty(hspec, {"n_events": pa.int64()})
+    )
+    # distinct count VALUES — magnitude-bounded, not users.  Arrow refs,
+    # not Dataset.to_pandas(): the latter returns a COLUMNLESS frame for a
+    # zero-row dataset (Ray quirk), which would KeyError the sort below on
+    # an empty corpus
     hist = (
-        grouped(counts(), GroupSpec(keys=("n_events",)))
-        .to_pandas()  # distinct count VALUES — magnitude-bounded, not users
+        pa.concat_tables(
+            [b for b in ray.get(hist_ds.to_arrow_refs()) if b.num_columns]
+        )
+        .to_pandas()
         .sort_values("n_events")
     )
     cum = hist["cnt"].cumsum().to_numpy()
@@ -956,7 +1109,10 @@ def power_users(sf_dir: str) -> Dataset:
     def keep(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("n_events"), thr))
 
-    return counts().map_batches(keep, batch_format="pyarrow").sort(["user_id"])
+    return _pin_schema(
+        counts.map_batches(keep, batch_format="pyarrow").sort(["user_id"]),
+        out_schema,
+    )
 
 
 _HOUR_US = 3_600_000_000
@@ -983,8 +1139,17 @@ def concurrent_sessions(sf_dir: str) -> Dataset:
                     "user_id": pd.Series([], dtype="int64"),
                 }
             )
-        start = df["start_ts"].dt.floor("h").astype("int64").to_numpy()
-        end = df["end_ts"].dt.floor("h").astype("int64").to_numpy()
+        # pin the resolution before the int view (pandas may surface the
+        # arrow timestamp as M8[us] or M8[ns] depending on version — the
+        # retention_cohorts hazard, pinned everywhere a ts becomes an int)
+        start = (
+            df["start_ts"].dt.floor("h").astype("datetime64[us]")
+            .astype("int64").to_numpy()
+        )
+        end = (
+            df["end_ts"].dt.floor("h").astype("datetime64[us]")
+            .astype("int64").to_numpy()
+        )
         n = (end - start) // _HOUR_US + 1
         offs = np.arange(int(n.sum())) - np.repeat(np.cumsum(n) - n, n)
         hours = np.repeat(start, n) + offs * _HOUR_US
@@ -995,12 +1160,19 @@ def concurrent_sessions(sf_dir: str) -> Dataset:
             }
         )
 
+    l1 = GroupSpec(keys=("hour", "user_id"))
     per_user = grouped(
         sessionization(sf_dir).map_batches(explode, batch_format="pandas"),
-        GroupSpec(keys=("hour", "user_id")),
+        l1,
+        empty=final_empty(
+            l1, {"hour": pa.timestamp("us"), "user_id": pa.int64()}
+        ),
     )
+    l2 = GroupSpec(keys=("hour",), count=True, sum_cols=("cnt",))
     g = grouped(
-        per_user, GroupSpec(keys=("hour",), count=True, sum_cols=("cnt",))
+        per_user,
+        l2,
+        empty=final_empty(l2, {"hour": pa.timestamp("us"), "cnt": pa.int64()}),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -1012,7 +1184,13 @@ def concurrent_sessions(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["hour"])
+    out_schema = pa.schema(
+        [("hour", pa.timestamp("us")), ("n_sessions", pa.int64()),
+         ("n_users", pa.int64())]
+    )
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["hour"]), out_schema
+    )
 
 
 def session_stats(sf_dir: str) -> Dataset:
@@ -1025,8 +1203,10 @@ def session_stats(sf_dir: str) -> Dataset:
     sessionization's bucketed exchange; this adds one partial-merge pass
     over its session rows."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # pin resolution before the int view (M8[us]/M8[ns] version hazard)
         dur_us = (
-            df["end_ts"].astype("int64") - df["start_ts"].astype("int64")
+            df["end_ts"].astype("datetime64[us]").astype("int64")
+            - df["start_ts"].astype("datetime64[us]").astype("int64")
         )
         return pd.DataFrame(
             {
@@ -1097,7 +1277,14 @@ def session_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pandas")
+    return _pin_schema(
+        g.map_batches(post, batch_format="pandas"),
+        pa.schema(
+            [("n_sessions", pa.int64()), ("n_bounces", pa.int64()),
+             ("avg_events", pa.float64()), ("avg_duration_s", pa.float64()),
+             ("sum_value", pa.float64())]
+        ),
+    )
 
 
 _PATH_LEN = 3  # first-K event types per user
@@ -1134,9 +1321,11 @@ def top_event_paths(sf_dir: str) -> Dataset:
     per_bucket = _user_bucket_apply(
         sf_dir, ev, paths, session_buckets(sf_dir)
     )
+    spec = GroupSpec(keys=("path",), count=False, sum_cols=("n_users",))
     g = grouped(
         per_bucket,
-        GroupSpec(keys=("path",), count=False, sum_cols=("n_users",)),
+        spec,
+        empty=final_empty(spec, {"path": pa.string(), "n_users": pa.int64()}),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -1144,7 +1333,10 @@ def top_event_paths(sf_dir: str) -> Dataset:
             {"path": t.column("path"), "n_users": t.column("sum_n_users")}
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["path"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["path"]),
+        pa.schema([("path", pa.string()), ("n_users", pa.int64())]),
+    )
 
 
 def inter_event_gaps(sf_dir: str) -> Dataset:
@@ -1168,7 +1360,8 @@ def inter_event_gaps(sf_dir: str) -> Dataset:
                 }
             )
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        ts = df["ts"].astype("int64").to_numpy()
+        # pin resolution before the int view (M8[us]/M8[ns] version hazard)
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
         same = df["user_id"].to_numpy()
         has_prev = np.zeros(len(df), dtype=bool)
         has_prev[1:] = same[1:] == same[:-1]
@@ -1193,13 +1386,19 @@ def inter_event_gaps(sf_dir: str) -> Dataset:
 
     ev = read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
     per_bucket = _user_bucket_apply(sf_dir, ev, gaps, session_buckets(sf_dir))
+    spec = GroupSpec(
+        keys=("event_type",),
+        count=False,
+        sum_cols=("n", "sum_us"),
+        max_cols=("max_us",),
+    )
     g = grouped(
         per_bucket,
-        GroupSpec(
-            keys=("event_type",),
-            count=False,
-            sum_cols=("n", "sum_us"),
-            max_cols=("max_us",),
+        spec,
+        empty=final_empty(
+            spec,
+            {"event_type": pa.string(), "n": pa.int64(),
+             "sum_us": pa.int64(), "max_us": pa.int64()},
         ),
     )
 
@@ -1218,7 +1417,13 @@ def inter_event_gaps(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pandas").sort(["event_type"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pandas").sort(["event_type"]),
+        pa.schema(
+            [("event_type", pa.string()), ("n_gaps", pa.int64()),
+             ("avg_gap_s", pa.float64()), ("max_gap_s", pa.float64())]
+        ),
+    )
 
 
 def repeat_purchase_rate(sf_dir: str) -> Dataset:
@@ -1233,11 +1438,15 @@ def repeat_purchase_rate(sf_dir: str) -> Dataset:
             pc.equal(t.column("event_type"), "purchase")
         ).select(["user_id"])
 
+    l1 = GroupSpec(keys=("user_id",))
     per_user = grouped(
         read_events(sf_dir, ["event_type", "user_id"]).map_batches(
             only_purchases, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("user_id",)),
+        l1,
+        # a purchase-free corpus legitimately empties the filter — the
+        # typed fallback keeps the documented zero-row contract
+        empty=final_empty(l1, {"user_id": pa.int64()}),
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1252,9 +1461,13 @@ def repeat_purchase_rate(sf_dir: str) -> Dataset:
             }
         )
 
+    l2 = GroupSpec(keys=("k",), count=False, sum_cols=("buyers", "rep"))
     g = grouped(
         per_user.map_batches(partial, batch_format="pyarrow"),
-        GroupSpec(keys=("k",), count=False, sum_cols=("buyers", "rep")),
+        l2,
+        empty=final_empty(
+            l2, {"k": pa.int64(), "buyers": pa.int64(), "rep": pa.int64()}
+        ),
     )
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
@@ -1269,7 +1482,13 @@ def repeat_purchase_rate(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pandas")
+    return _pin_schema(
+        g.map_batches(post, batch_format="pandas"),
+        pa.schema(
+            [("buyers", pa.int64()), ("repeat_buyers", pa.int64()),
+             ("repeat_rate", pa.float64())]
+        ),
+    )
 
 
 def conversion_lag_stats(sf_dir: str) -> Dataset:
@@ -1292,11 +1511,18 @@ def conversion_lag_stats(sf_dir: str) -> Dataset:
             )
         )
 
+    l1 = GroupSpec(keys=("user_id", "event_type"), count=False, min_cols=("ts",))
     firsts = grouped(
         read_events(sf_dir, ["event_type", "user_id", "ts"]).map_batches(
             vp_only, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("user_id", "event_type"), count=False, min_cols=("ts",)),
+        l1,
+        # a view/purchase-free corpus legitimately empties the filter
+        empty=final_empty(
+            l1,
+            {"user_id": pa.int64(), "event_type": pa.string(),
+             "ts": pa.timestamp("us")},
+        ),
     )
 
     def lags(df: pd.DataFrame) -> pd.DataFrame:
@@ -1319,9 +1545,10 @@ def conversion_lag_stats(sf_dir: str) -> Dataset:
             lag = np.array([], dtype=np.int64)
         else:
             both = p.dropna(subset=["view", "purchase"])
+            # pin resolution before the int view (M8[us]/M8[ns] hazard)
             lag = (
-                both["purchase"].astype("int64")
-                - both["view"].astype("int64")
+                both["purchase"].astype("datetime64[us]").astype("int64")
+                - both["view"].astype("datetime64[us]").astype("int64")
             ).to_numpy()
             lag = lag[lag >= 0]
         return pd.DataFrame(
@@ -1338,10 +1565,16 @@ def conversion_lag_stats(sf_dir: str) -> Dataset:
     per_bucket = _user_bucket_apply(
         sf_dir, firsts, lags, session_buckets(sf_dir)
     )
+    l2 = GroupSpec(keys=("k",), count=False, sum_cols=("n", "sum_us"),
+                   max_cols=("max_us",))
     g = grouped(
         per_bucket,
-        GroupSpec(keys=("k",), count=False, sum_cols=("n", "sum_us"),
-                  max_cols=("max_us",)),
+        l2,
+        empty=final_empty(
+            l2,
+            {"k": pa.int64(), "n": pa.int64(), "sum_us": pa.int64(),
+             "max_us": pa.int64()},
+        ),
     )
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
@@ -1359,7 +1592,13 @@ def conversion_lag_stats(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pandas")
+    return _pin_schema(
+        g.map_batches(post, batch_format="pandas"),
+        pa.schema(
+            [("n_users", pa.int64()), ("avg_lag_s", pa.float64()),
+             ("max_lag_s", pa.float64())]
+        ),
+    )
 
 
 def trending_event_types(sf_dir: str) -> Dataset:
@@ -1382,11 +1621,15 @@ def trending_event_types(sf_dir: str) -> Dataset:
             }
         )
 
+    spec = GroupSpec(keys=("day", "event_type"))
     g = grouped(
         read_events(sf_dir, ["ts", "event_type"]).map_batches(
             add_day, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("day", "event_type")),
+        spec,
+        empty=final_empty(
+            spec, {"day": pa.timestamp("us"), "event_type": pa.string()}
+        ),
     )
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
@@ -1420,10 +1663,14 @@ def trending_event_types(sf_dir: str) -> Dataset:
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
+    return _pin_schema(
         g.map_batches(prune, batch_format="pandas")
         .repartition(1)
-        .map_batches(fin, batch_format="pandas", batch_size=None)
+        .map_batches(fin, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [("day", pa.timestamp("us")), ("rnk", pa.int64()),
+             ("event_type", pa.string()), ("cnt", pa.int64())]
+        ),
     )
 
 
@@ -1446,11 +1693,15 @@ def rolling_wau(sf_dir: str) -> Dataset:
             }
         )
 
+    l1 = GroupSpec(keys=("user_id", "day"))
     per_day = grouped(
         read_events(sf_dir, ["user_id", "ts"]).map_batches(
             add_day, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("user_id", "day")),
+        l1,
+        empty=final_empty(
+            l1, {"user_id": pa.int64(), "day": pa.timestamp("us")}
+        ),
     )
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1467,11 +1718,20 @@ def rolling_wau(sf_dir: str) -> Dataset:
             )
         return pa.concat_tables(parts)
 
+    l2 = GroupSpec(keys=("user_id", "window_start"))
     per_window = grouped(
         per_day.map_batches(explode, batch_format="pyarrow"),
-        GroupSpec(keys=("user_id", "window_start")),
+        l2,
+        empty=final_empty(
+            l2, {"user_id": pa.int64(), "window_start": pa.timestamp("us")}
+        ),
     )
-    wau = grouped(per_window, GroupSpec(keys=("window_start",)))
+    l3 = GroupSpec(keys=("window_start",))
+    wau = grouped(
+        per_window,
+        l3,
+        empty=final_empty(l3, {"window_start": pa.timestamp("us")}),
+    )
 
     def post(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1481,8 +1741,9 @@ def rolling_wau(sf_dir: str) -> Dataset:
             }
         )
 
-    return wau.map_batches(post, batch_format="pyarrow").sort(
-        ["window_start"]
+    return _pin_schema(
+        wau.map_batches(post, batch_format="pyarrow").sort(["window_start"]),
+        pa.schema([("window_start", pa.timestamp("us")), ("wau", pa.int64())]),
     )
 
 
@@ -1507,11 +1768,15 @@ def value_percentiles(sf_dir: str) -> Dataset:
             }
         )
 
+    spec = GroupSpec(keys=("event_type", "cents"))
     g = grouped(
         read_events(sf_dir, ["event_type", "value"]).map_batches(
             to_cents, batch_format="pyarrow"
         ),
-        GroupSpec(keys=("event_type", "cents")),
+        spec,
+        empty=final_empty(
+            spec, {"event_type": pa.string(), "cents": pa.int64()}
+        ),
     )
 
     def fin(df: pd.DataFrame) -> pa.Table:
@@ -1541,9 +1806,13 @@ def value_percentiles(sf_dir: str) -> Dataset:
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
+    return _pin_schema(
         g.repartition(1)
-        .map_batches(fin, batch_format="pandas", batch_size=None)
+        .map_batches(fin, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [("event_type", pa.string()), ("n_events", pa.int64())]
+            + [(f"p{p}", pa.float64()) for p in VALUE_PCTS]
+        ),
     )
 
 
@@ -1558,14 +1827,18 @@ def session_duration_percentiles(sf_dir: str) -> Dataset:
     and a one-task read-off.  Oracle:
     ``oracle.SESSION_DURATION_PERCENTILES``."""
     def dur_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # pin resolution before the int view (M8[us]/M8[ns] version hazard)
         dur_us = (
-            df["end_ts"].astype("int64") - df["start_ts"].astype("int64")
+            df["end_ts"].astype("datetime64[us]").astype("int64")
+            - df["start_ts"].astype("datetime64[us]").astype("int64")
         )
         return pd.DataFrame({"dur_s": (dur_us // 1_000_000).astype("int64")})
 
+    spec = GroupSpec(keys=("dur_s",))
     hist = grouped(
         sessionization(sf_dir).map_batches(dur_rows, batch_format="pandas"),
-        GroupSpec(keys=("dur_s",)),
+        spec,
+        empty=final_empty(spec, {"dur_s": pa.int64()}),
     )
 
     def fin(df: pd.DataFrame) -> pa.Table:
@@ -1586,8 +1859,14 @@ def session_duration_percentiles(sf_dir: str) -> Dataset:
             pd.DataFrame(out), preserve_index=False
         ).replace_schema_metadata(None)
 
-    return hist.repartition(1).map_batches(
-        fin, batch_format="pandas", batch_size=None
+    return _pin_schema(
+        hist.repartition(1).map_batches(
+            fin, batch_format="pandas", batch_size=None
+        ),
+        pa.schema(
+            [("n_sessions", pa.int64())]
+            + [(f"p{p}_s", pa.int64()) for p in (50, 90, 99)]
+        ),
     )
 
 
@@ -1640,7 +1919,10 @@ def user_churn(sf_dir: str) -> Dataset:
         )
         return out.filter(pc.greater_equal(days, CHURN_DAYS))
 
-    return last.map_batches(fin, batch_format="pyarrow").sort(["user_id"])
+    return _pin_schema(
+        last.map_batches(fin, batch_format="pyarrow").sort(["user_id"]),
+        out_schema,
+    )
 
 
 def bounce_rate(sf_dir: str) -> Dataset:
@@ -1678,7 +1960,13 @@ def bounce_rate(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["day"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["day"]),
+        pa.schema(
+            [("day", pa.timestamp("us")), ("n_sessions", pa.int64()),
+             ("n_bounces", pa.int64())]
+        ),
+    )
 
 
 def event_transitions(sf_dir: str) -> Dataset:
@@ -1739,6 +2027,12 @@ def event_transitions(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(
-        ["from_type", "to_type"]
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["from_type", "to_type"]
+        ),
+        pa.schema(
+            [("from_type", pa.string()), ("to_type", pa.string()),
+             ("cnt", pa.int64())]
+        ),
     )
