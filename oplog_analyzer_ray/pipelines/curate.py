@@ -296,10 +296,18 @@ def split_leakage_report(sf_dir: str) -> Dataset:
         ).empty_table(),
     )
 
+    from .agg import final_empty
+
+    hspec = GroupSpec(
+        keys=("code",), count=True, sum_cols=("n_tokens", "leaked")
+    )
     hist = grouped(
         spanned,
-        GroupSpec(
-            keys=("code",), count=True, sum_cols=("n_tokens", "leaked")
+        hspec,
+        empty=final_empty(
+            hspec,
+            {"code": pa.int64(), "n_tokens": pa.int64(),
+             "leaked": pa.int64()},
         ),
     )
 
@@ -318,4 +326,16 @@ def split_leakage_report(sf_dir: str) -> Dataset:
             }
         )
 
-    return hist.map_batches(finish, batch_format="pyarrow").sort(["split"])
+    out = hist.map_batches(finish, batch_format="pyarrow").sort(["split"])
+    # schema pin: Ray skips map UDFs on empty blocks and sort drops them,
+    # so an empty corpus would otherwise surface a schema-less report
+    import ray.data as _rd
+
+    return out.union(
+        _rd.from_arrow(
+            pa.schema(
+                [("split", pa.string()), ("n_docs", pa.int64()),
+                 ("n_tokens", pa.int64()), ("leaked_docs", pa.int64())]
+            ).empty_table()
+        )
+    )

@@ -52,7 +52,13 @@ import ray
 import ray.data
 from ray.data import Dataset
 
-from .agg import EXCHANGE_GATE_MAX_BYTES, GroupSpec, dyn_buckets, grouped
+from .agg import (
+    EXCHANGE_GATE_MAX_BYTES,
+    GroupSpec,
+    dyn_buckets,
+    final_empty,
+    grouped,
+)
 from .text import read_documents
 
 MINHASH_K = 16
@@ -120,6 +126,20 @@ def _chain_cached(
 
 
 # ------------------------------------------------------------------ helpers
+def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Append one typed zero-row block: Ray skips map UDFs on empty blocks
+    and sort drops them, so a corpus with no duplicate pairs (or no
+    documents at all) would otherwise surface a schema-less result from the
+    report surfaces.  One 0-row block, no other cost."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
+
+
+_CAND_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+     ("n_shared_bands", pa.int64())]
+)
+
+
 def _index_in_strict(values, value_set, what: str):
     """``pc.index_in`` asserting every probe has a match: the bucketed joins
     in verify()/dedup_keep_best rely on every probe/decision row having a
@@ -202,7 +222,12 @@ def exact_dedup(sf_dir: str) -> Dataset:
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         fp_batch, batch_format="pandas"
     )
-    g = grouped(ds, GroupSpec(keys=("fp",), min_cols=("doc_id",)))
+    spec = GroupSpec(keys=("fp",), min_cols=("doc_id",))
+    g = grouped(
+        ds,
+        spec,
+        empty=final_empty(spec, {"fp": pa.string(), "doc_id": pa.int64()}),
+    )
 
     def post(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -213,7 +238,11 @@ def exact_dedup(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["keep_doc_id"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["keep_doc_id"]),
+        pa.schema([("fp", pa.string()), ("keep_doc_id", pa.int64()),
+                   ("n_copies", pa.int64())]),
+    )
 
 
 # ------------------------------------------------------------------ minhash
@@ -452,7 +481,14 @@ def _candidate_pairs_uncached(sf_dir: str) -> Dataset:
     pairs = items.map_batches(
         _expand_items, batch_format="pyarrow", batch_size=32
     )
-    g = grouped(pairs, GroupSpec(keys=("doc_a", "doc_b")))
+    spec = GroupSpec(keys=("doc_a", "doc_b"))
+    g = grouped(
+        pairs,
+        spec,
+        # a corpus with no colliding bands (tiny or all-unique docs) has a
+        # legitimately empty pair set
+        empty=final_empty(spec, {"doc_a": pa.int64(), "doc_b": pa.int64()}),
+    )
 
     def post(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -463,7 +499,11 @@ def _candidate_pairs_uncached(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow")
+    # typed even when empty: everything downstream of the chain (verify,
+    # CC, search, provenance rollups) reads doc_a/doc_b by name
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow"), _CAND_SCHEMA
+    )
 
 
 def lsh_candidate_pairs(sf_dir: str) -> Dataset:
@@ -476,7 +516,9 @@ def lsh_candidate_pairs(sf_dir: str) -> Dataset:
     pairs, and the per-pair shared-band count is the standard grouped()
     partial-merge.  The pair table stays a Dataset — nothing is collected
     on the driver."""
-    return _candidate_pairs_ds(sf_dir).sort(["doc_a", "doc_b"])
+    return _pin_schema(
+        _candidate_pairs_ds(sf_dir).sort(["doc_a", "doc_b"]), _CAND_SCHEMA
+    )
 
 
 _JOIN_SCHEMA = pa.schema(
@@ -531,7 +573,11 @@ def _shingle_side(sf_dir: str) -> Dataset:
 def near_dup_jaccard(sf_dir: str) -> Dataset:
     """Sorted report surface of :func:`_jaccard_pairs` (the unsorted pair
     set feeds :func:`dedup_clusters` without paying the range-partition)."""
-    return _jaccard_pairs(sf_dir).sort(["doc_a", "doc_b"])
+    return _pin_schema(
+        _jaccard_pairs(sf_dir).sort(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("jaccard", pa.float64())]),
+    )
 
 
 def _jaccard_pairs(sf_dir: str) -> Dataset:
@@ -791,9 +837,14 @@ def containment_scores(sf_dir: str) -> Dataset:
     containment op — this is a training-data-pipeline extension alongside
     the Jaccard verify (AnalyzeCommand.java has only exact-id
     aggregation)."""
-    return _score_triples(
-        _verified_triples_cached(sf_dir), "containment", CONTAINMENT_THRESHOLD
-    ).sort(["doc_a", "doc_b"])
+    return _pin_schema(
+        _score_triples(
+            _verified_triples_cached(sf_dir), "containment",
+            CONTAINMENT_THRESHOLD,
+        ).sort(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("containment", pa.float64())]),
+    )
 
 
 # ------------------------------------------------------------------ simhash
@@ -991,11 +1042,24 @@ def simhash_near_dups(sf_dir: str) -> Dataset:
         use_exchange=_use_exchange(sf_dir),
         empty=_SIMHASH_PAIRS_SCHEMA.empty_table(),
     )
-    g = grouped(pairs, GroupSpec(keys=("doc_a", "doc_b", "hamming")))
-    return g.map_batches(
-        lambda t: t.select(["doc_a", "doc_b", "hamming"]),
-        batch_format="pyarrow",
-    ).sort(["doc_a", "doc_b"])
+    spec = GroupSpec(keys=("doc_a", "doc_b", "hamming"))
+    g = grouped(
+        pairs,
+        spec,
+        empty=final_empty(
+            spec,
+            {"doc_a": pa.int64(), "doc_b": pa.int64(),
+             "hamming": pa.int64()},
+        ),
+    )
+    return _pin_schema(
+        g.map_batches(
+            lambda t: t.select(["doc_a", "doc_b", "hamming"]),
+            batch_format="pyarrow",
+        ).sort(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("hamming", pa.int64())]),
+    )
 
 
 # ----------------------------------------------------- near-dup clustering
@@ -1050,7 +1114,11 @@ def dedup_clusters(sf_dir: str) -> Dataset:
     """Sorted report surface of :func:`dedup_decision` (the unsorted table
     feeds :func:`~oplog_analyzer_ray.pipelines.curate.curated_corpus`
     without paying the range-partition)."""
-    return dedup_decision(sf_dir).sort(["doc_id"])
+    return _pin_schema(
+        dedup_decision(sf_dir).sort(["doc_id"]),
+        pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64()),
+                   ("cluster_size", pa.int64()), ("is_canonical", pa.bool_())]),
+    )
 
 
 def dedup_decision(sf_dir: str) -> Dataset:
@@ -1252,7 +1320,10 @@ def decision_from_labels(
     from .agg import hash_bucket_apply
 
     assigned = hash_bucket_apply(
-        docs, (id_col,), coalesce_self, buckets, use_exchange=use_exchange
+        docs, (id_col,), coalesce_self, buckets, use_exchange=use_exchange,
+        empty=pa.schema(
+            [(id_col, pa.int64()), ("cluster_id", pa.int64())]
+        ).empty_table(),
     )
 
     # … then co-locate each cluster to attach its size (second exchange)
@@ -1276,7 +1347,12 @@ def decision_from_labels(
         )
 
     return hash_bucket_apply(
-        assigned, ("cluster_id",), attach_size, buckets, use_exchange=use_exchange
+        assigned, ("cluster_id",), attach_size, buckets,
+        use_exchange=use_exchange,
+        empty=pa.schema(
+            [(id_col, pa.int64()), ("cluster_id", pa.int64()),
+             ("cluster_size", pa.int64()), ("is_canonical", pa.bool_())]
+        ).empty_table(),
     )
 
 
@@ -1382,13 +1458,19 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
         buckets,
         use_exchange=_use_exchange(sf_dir),
     )
+    spec = GroupSpec(
+        keys=("cluster_id",),
+        count=False,
+        min_cols=("k",),
+        max_cols=("cluster_size",),
+    )
     g = grouped(
         joined,
-        GroupSpec(
-            keys=("cluster_id",),
-            count=False,
-            min_cols=("k",),
-            max_cols=("cluster_size",),
+        spec,
+        empty=final_empty(
+            spec,
+            {"cluster_id": pa.int64(), "k": pa.int64(),
+             "cluster_size": pa.int64()},
         ),
     )
 
@@ -1403,7 +1485,11 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["cluster_id"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["cluster_id"]),
+        pa.schema([("cluster_id", pa.int64()), ("cluster_size", pa.int64()),
+                   ("keep_doc_id", pa.int64()), ("keep_q_int", pa.int64())]),
+    )
 
 
 def dedup_cluster_sizes(sf_dir: str) -> Dataset:
@@ -1423,9 +1509,11 @@ def dedup_cluster_sizes(sf_dir: str) -> Dataset:
     def canon(t: pa.Table) -> pa.Table:
         return t.filter(t.column("is_canonical")).select(["cluster_size"])
 
+    spec = GroupSpec(keys=("cluster_size",), count=True)
     hist = grouped(
         dedup_decision(sf_dir).map_batches(canon, batch_format="pyarrow"),
-        GroupSpec(keys=("cluster_size",), count=True),
+        spec,
+        empty=final_empty(spec, {"cluster_size": pa.int64()}),
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1438,8 +1526,12 @@ def dedup_cluster_sizes(sf_dir: str) -> Dataset:
             }
         )
 
-    return hist.map_batches(finish, batch_format="pyarrow").sort(
-        ["cluster_size"]
+    return _pin_schema(
+        hist.map_batches(finish, batch_format="pyarrow").sort(
+            ["cluster_size"]
+        ),
+        pa.schema([("cluster_size", pa.int64()), ("n_clusters", pa.int64()),
+                   ("n_docs", pa.int64())]),
     )
 
 
@@ -1514,7 +1606,12 @@ def dup_rate_by_source(sf_dir: str) -> Dataset:
             [("source", pa.string()), ("dup", pa.int64())]
         ).empty_table(),
     )
-    g = grouped(joined, GroupSpec(keys=("source",), sum_cols=("dup",)))
+    spec = GroupSpec(keys=("source",), sum_cols=("dup",))
+    g = grouped(
+        joined,
+        spec,
+        empty=final_empty(spec, {"source": pa.string(), "dup": pa.int64()}),
+    )
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
         n = df["cnt"].to_numpy().astype(np.float64)
@@ -1528,7 +1625,11 @@ def dup_rate_by_source(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pandas").sort(["source"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pandas").sort(["source"]),
+        pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                   ("dup_docs", pa.int64()), ("dup_rate", pa.float64())]),
+    )
 
 
 def near_dup_source_matrix(sf_dir: str) -> Dataset:
@@ -1652,7 +1753,14 @@ def near_dup_source_matrix(sf_dir: str) -> Dataset:
             [("source_a", pa.string()), ("source_b", pa.string())]
         ).empty_table(),
     )
-    g = grouped(hop2, GroupSpec(keys=("source_a", "source_b")))
+    spec = GroupSpec(keys=("source_a", "source_b"))
+    g = grouped(
+        hop2,
+        spec,
+        empty=final_empty(
+            spec, {"source_a": pa.string(), "source_b": pa.string()}
+        ),
+    )
 
     def post(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1663,8 +1771,12 @@ def near_dup_source_matrix(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(
-        ["source_a", "source_b"]
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["source_a", "source_b"]
+        ),
+        pa.schema([("source_a", pa.string()), ("source_b", pa.string()),
+                   ("n_pairs", pa.int64())]),
     )
 
 
@@ -2060,7 +2172,11 @@ def minhash_est_error(sf_dir: str) -> Dataset:
         sigs.union(pairs), ("join_id",), attach, buckets,
         use_exchange=exchange,
     )
-    return hash_bucket_apply(
-        sigs.union(hop1), ("join_id",), score, buckets,
-        use_exchange=exchange, empty=_EMPTY_EST,
-    ).sort(["doc_a", "doc_b"])
+    return _pin_schema(
+        hash_bucket_apply(
+            sigs.union(hop1), ("join_id",), score, buckets,
+            use_exchange=exchange, empty=_EMPTY_EST,
+        ).sort(["doc_a", "doc_b"]),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                   ("est_matches", pa.int64()), ("jaccard", pa.float64())]),
+    )

@@ -31,6 +31,31 @@ N_QUERIES = 5  # queries = vec_id 0..4
 TOP_K = 10
 LSH_PLANES = 6
 
+# typed zero-row results for degenerate inputs (empty embeddings table, a
+# corpus with no query-range ids, a single-vector corpus with no pairs):
+# every operator returns its documented schema instead of crashing or
+# surfacing a schema-less dataset
+_KNN_SCHEMA = pa.schema(
+    [("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+     ("cos", pa.float64())]
+)
+_PAIR_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
+)
+
+
+def _empty_ds(schema: pa.Schema):
+    import ray.data as _rd
+
+    return _rd.from_arrow(schema.empty_table())
+
+
+def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Append one typed zero-row block — Ray skips map UDFs on empty
+    blocks and sort drops them, so pipelines whose pair/candidate set is
+    legitimately empty would otherwise surface a schema-less result."""
+    return ds.union(_empty_ds(schema))
+
 def _cand_table(parts: list) -> pa.Table:
     """Assemble per-query candidate slices ``(qid, neighbor_ids, cos)`` into
     one metadata-free Arrow table.  The knn local-topk stages return this
@@ -159,7 +184,11 @@ def _load_queries(
             .read_row_groups(rgs, columns=["vec_id", "embedding"])
             .filter(pc.less(pc.field("vec_id"), upper))
         )
+    if not parts:  # empty table, or no ids below ``upper``
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
     t = pa.concat_tables(parts)
+    if t.num_rows == 0:  # row groups existed but held no matching ids
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
     df = t.to_pandas().sort_values("vec_id")
     q = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return df["vec_id"].to_numpy(), q
@@ -185,6 +214,8 @@ def knn_bruteforce(sf_dir: str) -> Dataset:
     """Exact cosine top-10 per query (self excluded); ties broken by
     neighbor_id asc; scores rounded to 6dp for cross-engine comparison."""
     qids, qmat = _load_queries(sf_dir)
+    if qids.size == 0:  # no query vectors: empty result, documented schema
+        return _empty_ds(_KNN_SCHEMA)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     qref = ray.put((qids, qnorm))
 
@@ -226,6 +257,8 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> Dataset:
     space instead of all of it.  Same output schema as ``knn_bruteforce``;
     recall vs brute-force checked in tests."""
     qids, qmat = _load_queries(sf_dir)
+    if qids.size == 0:
+        return _empty_ds(_KNN_SCHEMA)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     planes = _lsh_planes(qmat.shape[1])
     qbuckets = _bucket_ids(qmat, planes)
@@ -684,9 +717,17 @@ def mutual_knn_pairs(sf_dir: str) -> Dataset:
             }
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("vec_a", "vec_b"), count=True, max_cols=("cos",))
     pairs = grouped(
         g.map_batches(emit, batch_format="pyarrow"),
-        GroupSpec(keys=("vec_a", "vec_b"), count=True, max_cols=("cos",)),
+        spec,
+        # a single-vector (or empty) corpus has no graph edges at all
+        empty=final_empty(
+            spec,
+            {"vec_a": pa.int64(), "vec_b": pa.int64(), "cos": pa.float64()},
+        ),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -701,8 +742,11 @@ def mutual_knn_pairs(sf_dir: str) -> Dataset:
             }
         )
 
-    return pairs.map_batches(post, batch_format="pyarrow").sort(
-        ["vec_a", "vec_b"]
+    return _pin_schema(
+        pairs.map_batches(post, batch_format="pyarrow").sort(
+            ["vec_a", "vec_b"]
+        ),
+        _PAIR_SCHEMA,
     )
 
 
@@ -766,9 +810,16 @@ def embedding_near_dups_lsh(
         "_bucket",
         compute,
     )
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("vec_a", "vec_b"), count=False, min_cols=("cos",))
     g = grouped(
         pairs,
-        GroupSpec(keys=("vec_a", "vec_b"), count=False, min_cols=("cos",)),
+        spec,
+        empty=final_empty(
+            spec,
+            {"vec_a": pa.int64(), "vec_b": pa.int64(), "cos": pa.float64()},
+        ),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -780,7 +831,10 @@ def embedding_near_dups_lsh(
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(["vec_a", "vec_b"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(["vec_a", "vec_b"]),
+        _PAIR_SCHEMA,
+    )
 
 
 def semantic_dedup_lsh(sf_dir: str, emit_radius: int = 2) -> Dataset:
@@ -875,6 +929,8 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
     oracle: EXACT — the deterministic k-means centroids are embedded as
     SQL literals and the probe search re-derived (oracle.knn_ivf_sql)."""
     qids, qmat = _load_queries(sf_dir)
+    if qids.size == 0:
+        return _empty_ds(_KNN_SCHEMA)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     cents = _ivf_centroids(sf_dir)
     probes = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
@@ -953,8 +1009,14 @@ def ann_recall_report(sf_dir: str) -> Dataset:
             }
         )
 
-    return u.repartition(1).map_batches(
-        finish, batch_format="pandas", batch_size=None
+    return _pin_schema(
+        u.repartition(1).map_batches(
+            finish, batch_format="pandas", batch_size=None
+        ),
+        pa.schema(
+            [("query_id", pa.int64()), ("recall_lsh", pa.float64()),
+             ("recall_ivf", pa.float64())]
+        ),
     )
 
 
@@ -1019,6 +1081,11 @@ def label_centroid_similarity(sf_dir: str) -> Dataset:
     summation-order ulps (oracle.LABEL_CENTROID_SIMILARITY re-derives the
     centroids with the EMBEDDING_OUTLIER_SCORES CTE and pairs them with
     list_cosine_similarity)."""
+    if _emb_rows(sf_dir) == 0:
+        return _empty_ds(
+            pa.schema([("label_a", pa.int64()), ("label_b", pa.int64()),
+                       ("cos", pa.float64())])
+        )
     labs, C = _label_centroids(sf_dir)
     k = labs.size
     ia, ib = np.triu_indices(k, k=1)
@@ -1051,6 +1118,11 @@ def embedding_outlier_scores(sf_dir: str) -> Dataset:
     streamed vectorized scoring pass.  Scores floor-truncate at 6dp, the
     embedding-family parity convention (oracle.EMBEDDING_OUTLIER_SCORES
     re-derives centroid and cosine in SQL)."""
+    if _emb_rows(sf_dir) == 0:
+        return _empty_ds(
+            pa.schema([("vec_id", pa.int64()), ("label", pa.int64()),
+                       ("cos_centroid", pa.float64())])
+        )
     labs, C = _label_centroids(sf_dir)
     cnorm = np.linalg.norm(C, axis=1)
     lab_row = {int(l): i for i, l in enumerate(labs)}
@@ -1115,6 +1187,11 @@ def kmeans_assign(sf_dir: str) -> Dataset:
     via ``ray.put`` (corpus never shuffles).  Oracle:
     ``oracle.KMEANS_ASSIGN``."""
     cids, C = _kmeans_seeds(sf_dir)
+    if cids.size == 0:  # no seed vectors: empty result, documented schema
+        return _empty_ds(
+            pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64()),
+                       ("cos", pa.float64())])
+        )
     cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     ref = ray.put((cids.astype(np.int64), C, cn))
 
@@ -1154,6 +1231,11 @@ def kmeans_refine(sf_dir: str) -> Dataset:
     from .agg import GroupSpec, grouped
 
     cids, C = _kmeans_seeds(sf_dir)
+    if cids.size == 0:
+        return _empty_ds(
+            pa.schema([("cluster", pa.int64()), ("n_members", pa.int64()),
+                       ("drift", pa.float64())])
+        )
     cn = C / np.linalg.norm(C, axis=1, keepdims=True)
     k, d = C.shape
     ref = ray.put((cids.astype(np.int64), C, cn))

@@ -20,6 +20,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 from ray.data import Dataset
@@ -66,6 +67,13 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
         schema=clean_read_schema(sf_dir, "documents", columns),
         override_num_blocks=dyn_buckets(16),
     )
+
+
+def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Append one typed zero-row block — Ray skips map UDFs on empty blocks
+    and sort drops them, so an empty documents table would otherwise
+    surface a schema-less result from the report surfaces."""
+    return ds.union(ray.data.from_arrow(schema.empty_table()))
 
 
 def _trunc6(s):
@@ -229,9 +237,15 @@ def lang_confusion(sf_dir: str) -> Dataset:
             {"lang": df["labelled_lang"], "pred_lang": df["pred_lang"]}
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("lang", "pred_lang"))
     g = grouped(
         lang_id(sf_dir).map_batches(cell, batch_format="pandas"),
-        GroupSpec(keys=("lang", "pred_lang")),
+        spec,
+        empty=final_empty(
+            spec, {"lang": pa.string(), "pred_lang": pa.string()}
+        ),
     )
 
     def post(t: pa.Table) -> pa.Table:
@@ -243,8 +257,12 @@ def lang_confusion(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pyarrow").sort(
-        ["lang", "pred_lang"]
+    return _pin_schema(
+        g.map_batches(post, batch_format="pyarrow").sort(
+            ["lang", "pred_lang"]
+        ),
+        pa.schema([("lang", pa.string()), ("pred_lang", pa.string()),
+                   ("n_docs", pa.int64())]),
     )
 
 
@@ -334,9 +352,16 @@ def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK_K) -> Dataset:
     partials = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pandas"
     )
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt", "df"))
     merged = grouped(
         partials,
-        GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt", "df")),
+        spec,
+        empty=final_empty(
+            spec, {"ngram": pa.string(), "cnt": pa.int64(),
+                   "df": pa.int64()}
+        ),
     ).map_batches(
         lambda t: t.select(["ngram", "sum_cnt", "sum_df"]).rename_columns(
             ["ngram", "cnt", "df"]
@@ -672,16 +697,30 @@ def source_mixture(sf_dir: str) -> Dataset:
             }
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("source",), count=True, sum_cols=("n_tok",))
     per_src = grouped(
         read_documents(sf_dir, ["source", "text"]).map_batches(
             tokens, batch_format="pandas"
         ),
-        GroupSpec(keys=("source",), count=True, sum_cols=("n_tok",)),
+        spec,
+        empty=final_empty(spec, {"source": pa.string(), "n_tok": pa.int64()}),
     )
-    t = pa.concat_tables(ray.get(per_src.to_arrow_refs()))
+    t = pa.concat_tables(
+        [b for b in ray.get(per_src.to_arrow_refs()) if b.num_columns]
+    )
     n_tok = t.column("sum_n_tok").to_numpy().astype(np.int64)
     total = int(n_tok.sum())
     n_src = len(n_tok)
+    if n_src == 0:  # empty corpus: no sources, no weights
+        return ray.data.from_arrow(
+            pa.schema(
+                [("source", pa.string()), ("n_docs", pa.int64()),
+                 ("n_tokens", pa.int64()), ("token_share", pa.float64()),
+                 ("sample_weight", pa.float64())]
+            ).empty_table()
+        )
     out = pa.table(
         {
             "source": t.column("source"),
@@ -715,11 +754,15 @@ def _unigram_counts(sf_dir: str) -> Dataset:
             }
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",))
     return grouped(
         read_documents(sf_dir, ["text"]).map_batches(
             partial, batch_format="pandas"
         ),
-        GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",)),
+        spec,
+        empty=final_empty(spec, {"tok": pa.string(), "cnt": pa.int64()}),
     )
 
 
@@ -748,11 +791,16 @@ def _bounded_vocab(vd: Dataset, floor: int) -> dict:
     def above(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("sum_cnt"), floor))
 
-    vt = pa.concat_tables(
-        ray.get(
+    blocks = [
+        b
+        for b in ray.get(
             vd.map_batches(above, batch_format="pyarrow").to_arrow_refs()
         )
-    )
+        if b.num_columns  # an empty vocab dataset yields schema-less blocks
+    ]
+    if not blocks:
+        return {}
+    vt = pa.concat_tables(blocks)
     return dict(
         zip(
             vt.column("tok").to_pylist(),
@@ -771,9 +819,16 @@ def _vocab_total(vd: Dataset) -> int:
         s = pc.sum(t.column("sum_cnt")).as_py() or 0
         return pa.table({"s": pa.array([int(s)], pa.int64())})
 
-    parts = pa.concat_tables(
-        ray.get(vd.map_batches(part, batch_format="pyarrow").to_arrow_refs())
-    )
+    blocks = [
+        b
+        for b in ray.get(
+            vd.map_batches(part, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_columns
+    ]
+    if not blocks:  # empty vocabulary (empty corpus)
+        return 0
+    parts = pa.concat_tables(blocks)
     return int(pc.sum(parts.column("s")).as_py() or 0)
 
 
@@ -872,6 +927,13 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
     if dmin is None:  # statistics absent: fall back to a min/max scan
         t = read_documents(sf_dir, ["doc_id"])
         dmin, dmax = t.min("doc_id"), t.max("doc_id")
+    if dmin is None:  # empty documents table: nothing to pack
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                 ("seq_id", pa.int64()), ("seq_off", pa.int64())]
+            ).empty_table()
+        )
     ranges = n_ranges or dyn_buckets(32)
     span = int(dmax) - int(dmin) + 1
 
@@ -933,12 +995,20 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
     from .agg import hash_bucket_apply
     from .dedup import _use_exchange
 
-    return hash_bucket_apply(
-        cnt,
-        ("_rng",),
-        scan,
-        use_exchange=_use_exchange(sf_dir),
-    ).sort(["doc_id"])
+    pack_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("seq_id", pa.int64()), ("seq_off", pa.int64())]
+    )
+    return _pin_schema(
+        hash_bucket_apply(
+            cnt,
+            ("_rng",),
+            scan,
+            use_exchange=_use_exchange(sf_dir),
+            empty=pack_schema.empty_table(),
+        ).sort(["doc_id"]),
+        pack_schema,
+    )
 
 
 # ------------------------------------------------------- budget selection
@@ -1025,10 +1095,27 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
 
     tbl = quality_int_table(sf_dir)  # session-memoized int rows
 
+    from .agg import final_empty
+
+    hspec = GroupSpec(keys=("q_int",), count=False, sum_cols=("n_tokens",))
+    # arrow refs, not Dataset.to_pandas(): the latter returns a COLUMNLESS
+    # frame for a zero-row dataset (empty corpus), KeyErroring the sort
     hist = (
-        grouped(
-            tbl,
-            GroupSpec(keys=("q_int",), count=False, sum_cols=("n_tokens",)),
+        pa.concat_tables(
+            [
+                b
+                for b in ray.get(
+                    grouped(
+                        tbl,
+                        hspec,
+                        empty=final_empty(
+                            hspec,
+                            {"q_int": pa.int64(), "n_tokens": pa.int64()},
+                        ),
+                    ).to_arrow_refs()
+                )
+                if b.num_columns
+            ]
         )
         .to_pandas()  # bounded: <=1e6 rows by the 6dp value range
         .sort_values("q_int", ascending=False)
@@ -1093,12 +1180,16 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
     from .agg import hash_bucket_apply
     from .dedup import _use_exchange
 
-    return hash_bucket_apply(
-        tbl.map_batches(prune, batch_format="pandas"),
-        ("q_int",),
-        scan,
-        use_exchange=_use_exchange(sf_dir),
-    ).sort(["doc_id"])
+    return _pin_schema(
+        hash_bucket_apply(
+            tbl.map_batches(prune, batch_format="pandas"),
+            ("q_int",),
+            scan,
+            use_exchange=_use_exchange(sf_dir),
+            empty=empty,
+        ).sort(["doc_id"]),
+        empty.schema,
+    )
 
 
 def source_budget_allocation(sf_dir: str) -> Dataset:
@@ -1126,12 +1217,28 @@ def source_budget_allocation(sf_dir: str) -> Dataset:
 
     tbl = quality_int_table(sf_dir)  # session-memoized int rows (has source)
 
+    from .agg import final_empty
+
+    hspec = GroupSpec(
+        keys=("source", "q_int"), count=False, sum_cols=("n_tokens",)
+    )
     hist = (
-        grouped(
-            tbl,
-            GroupSpec(
-                keys=("source", "q_int"), count=False, sum_cols=("n_tokens",)
-            ),
+        pa.concat_tables(
+            [
+                b
+                for b in ray.get(
+                    grouped(
+                        tbl,
+                        hspec,
+                        empty=final_empty(
+                            hspec,
+                            {"source": pa.string(), "q_int": pa.int64(),
+                             "n_tokens": pa.int64()},
+                        ),
+                    ).to_arrow_refs()
+                )
+                if b.num_columns
+            ]
         )
         .to_pandas()  # bounded: sources × ≤1e6 q_int levels
         .sort_values(["source", "q_int"], ascending=[True, False])
@@ -1202,13 +1309,16 @@ def source_budget_allocation(sf_dir: str) -> Dataset:
             }
         )
 
-    return hash_bucket_apply(
-        tbl.map_batches(prune, batch_format="pandas"),
-        ("source", "q_int"),
-        scan,
-        use_exchange=_use_exchange(sf_dir),
-        empty=empty,
-    ).sort(["doc_id"])
+    return _pin_schema(
+        hash_bucket_apply(
+            tbl.map_batches(prune, batch_format="pandas"),
+            ("source", "q_int"),
+            scan,
+            use_exchange=_use_exchange(sf_dir),
+            empty=empty,
+        ).sort(["doc_id"]),
+        empty.schema,
+    )
 
 
 # --------------------------------------------------------- split assignment
@@ -1275,11 +1385,15 @@ def _docfreq_counts(sf_dir: str) -> Dataset:
             {"tok": vc.index.astype(str), "cnt": vc.to_numpy(dtype=np.int64)}
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",))
     return grouped(
         read_documents(sf_dir, ["text"]).map_batches(
             partial, batch_format="pandas"
         ),
-        GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",)),
+        spec,
+        empty=final_empty(spec, {"tok": pa.string(), "cnt": pa.int64()}),
     )
 
 
@@ -1369,7 +1483,16 @@ def doc_length_percentiles(sf_dir: str) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    g = grouped(pre, GroupSpec(keys=("source", "n_tokens")))
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("source", "n_tokens"))
+    g = grouped(
+        pre,
+        spec,
+        empty=final_empty(
+            spec, {"source": pa.string(), "n_tokens": pa.int64()}
+        ),
+    )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("n_tokens")
@@ -1385,10 +1508,14 @@ def doc_length_percentiles(sf_dir: str) -> Dataset:
             out[f"p{p}"] = np.array([ln[idx]], np.int64)
         return pd.DataFrame(out)
 
-    return (
+    return _pin_schema(
         g.groupby("source")
         .map_groups(finish, batch_format="pandas")
-        .sort(["source"])
+        .sort(["source"]),
+        pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64())]
+            + [(f"p{p}", pa.int64()) for p in DOC_LEN_PCTS]
+        ),
     )
 
 
@@ -1434,11 +1561,15 @@ def _shingle_df(sf_dir: str) -> Dataset:
             {"g": vc.index.astype(str), "df": vc.to_numpy(dtype=np.int64)}
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("g",), count=False, sum_cols=("df",))
     return grouped(
         read_documents(sf_dir, ["text"]).map_batches(
             partial, batch_format="pandas"
         ),
-        GroupSpec(keys=("g",), count=False, sum_cols=("df",)),
+        spec,
+        empty=final_empty(spec, {"g": pa.string(), "df": pa.int64()}),
     )
 
 
@@ -1469,10 +1600,19 @@ def boilerplate_ngrams(sf_dir: str) -> Dataset:
     def above(t: pa.Table) -> pa.Table:
         return t.select(["g"]).filter(pc.greater(t.column("sum_df"), floor))
 
-    hot_tbl = pa.concat_tables(
-        ray.get(vd.map_batches(above, batch_format="pyarrow").to_arrow_refs())
+    hot_blocks = [
+        b
+        for b in ray.get(
+            vd.map_batches(above, batch_format="pyarrow").to_arrow_refs()
+        )
+        if b.num_columns  # empty corpus: schema-less blocks, no hot set
+    ]
+    hot = (
+        frozenset(pa.concat_tables(hot_blocks).column("g").to_pylist())
+        if hot_blocks
+        else frozenset()
     )
-    hot_ref = ray.put(frozenset(hot_tbl.column("g").to_pylist()))
+    hot_ref = ray.put(hot)
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         key = hot_ref.hex()
@@ -1633,11 +1773,15 @@ def zipf_slope(sf_dir: str) -> Dataset:
             {"tok": t.column("tok"), "cnt": t.column("sum_n")}
         )
 
+    from .agg import final_empty
+
+    zspec = GroupSpec(keys=("tok",), count=False, sum_cols=("n",))
     counts = grouped(
         read_documents(sf_dir, ["doc_id", "text"]).map_batches(
             partial, batch_format="pandas"
         ),
-        GroupSpec(keys=("tok",), count=False, sum_cols=("n",)),
+        zspec,
+        empty=final_empty(zspec, {"tok": pa.string(), "n": pa.int64()}),
     ).map_batches(rename, batch_format="pyarrow")
     head = topk(
         counts, ZIPF_RANKS, [("cnt", "descending"), ("tok", "ascending")]
@@ -1755,11 +1899,19 @@ def eval_overlap_by_source(sf_dir: str) -> Dataset:
             }
         )
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("source",), count=False, sum_cols=("n", "hits", "c"))
     g = grouped(
         read_documents(sf_dir, ["doc_id", "source", "text"]).map_batches(
             partial, batch_format="pandas"
         ),
-        GroupSpec(keys=("source",), count=False, sum_cols=("n", "hits", "c")),
+        spec,
+        empty=final_empty(
+            spec,
+            {"source": pa.string(), "n": pa.int64(), "hits": pa.int64(),
+             "c": pa.int64()},
+        ),
     )
 
     def post(df: pd.DataFrame) -> pd.DataFrame:
@@ -1775,7 +1927,14 @@ def eval_overlap_by_source(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(post, batch_format="pandas").sort(["source"])
+    return _pin_schema(
+        g.map_batches(post, batch_format="pandas").sort(["source"]),
+        pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64()),
+             ("contaminated_docs", pa.int64()), ("total_hits", pa.int64()),
+             ("contamination_rate", pa.float64())]
+        ),
+    )
 
 
 QUALITY_PCTS = (10, 50, 90)
@@ -1794,9 +1953,15 @@ def quality_deciles_by_source(sf_dir: str) -> Dataset:
     on both engines).  Oracle: ``oracle.QUALITY_DECILES_BY_SOURCE``."""
     from .agg import GroupSpec, grouped
 
+    from .agg import final_empty
+
+    spec = GroupSpec(keys=("source", "q_int"))
     g = grouped(
         quality_int_table(sf_dir),
-        GroupSpec(keys=("source", "q_int")),
+        spec,
+        empty=final_empty(
+            spec, {"source": pa.string(), "q_int": pa.int64()}
+        ),
     )
 
     def fin(df: pd.DataFrame) -> "pa.Table":
@@ -1827,9 +1992,13 @@ def quality_deciles_by_source(sf_dir: str) -> Dataset:
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
+    return _pin_schema(
         g.repartition(1)
-        .map_batches(fin, batch_format="pandas", batch_size=None)
+        .map_batches(fin, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [("source", pa.string()), ("n_docs", pa.int64())]
+            + [(f"p{p}", pa.float64()) for p in QUALITY_PCTS]
+        ),
     )
 
 
