@@ -21,6 +21,7 @@ tests/test_agg.py.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -142,8 +143,9 @@ SMALL_MERGE_ROWS = 65_536
 # below this on-disk input size the task exchange materializes and scatters;
 # above it the streamed sort path runs.  Env-overridable so the policy is
 # tuned in one place, not five literals.
+# int(float(...)) so scientific notation ("2e9") works in the env override
 EXCHANGE_GATE_MAX_BYTES = int(
-    __import__("os").environ.get("OPLOG_EXCHANGE_GATE_MAX_BYTES", int(2e9))
+    float(os.environ.get("OPLOG_EXCHANGE_GATE_MAX_BYTES", 2e9))
 )
 
 # driver-side ref-count guard for the hand-rolled exchange: it tracks
@@ -186,10 +188,19 @@ def _bucket_np(t: pa.Table, keys: tuple[str, ...], buckets: int) -> np.ndarray:
         mask = None
         if col.null_count:
             mask = pc.is_null(col).to_numpy(zero_copy_only=False)
-            fill = "" if (
-                pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
-            ) else 0
-            col = pc.fill_null(col, pa.scalar(fill, type=col.type))
+            typ = col.type
+            if pa.types.is_dictionary(typ):  # decode so the fill scalar fits
+                typ = typ.value_type
+                col = pc.cast(col, typ)
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                fill = ""
+            elif pa.types.is_boolean(typ):
+                fill = False
+            elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                fill = b""
+            else:
+                fill = 0
+            col = pc.fill_null(col, pa.scalar(fill, type=typ))
         arr = col.to_pandas().to_numpy()
         h = h * np.uint64(1_000_003) + pd.util.hash_array(arr, categorize=False)
         if mask is not None:  # null != the sentinel value, deterministically
@@ -271,7 +282,7 @@ def _encode_exchange(t: pa.Table) -> pa.Table:
         return t
     out = t
     for i, f in enumerate(t.schema):
-        if not pa.types.is_string(f.type):
+        if not (pa.types.is_string(f.type) or pa.types.is_large_string(f.type)):
             continue
         enc = pc.dictionary_encode(t.column(f.name).combine_chunks())
         if len(enc.dictionary) <= _DICT_ENCODE_MAX_RATIO * t.num_rows:
@@ -438,6 +449,19 @@ def _exchange_merge(
             [_concat_merge_task.remote(spec, names, si, sc, empty, *use)]
         )
 
+    if refs and buckets == 1:
+        # degenerate width: options(num_returns=1) would hand back a bare
+        # ObjectRef (not a list), so the split/merge loop below cannot run —
+        # one merge task over all blocks is the exact plan anyway (same
+        # fast path as hash_bucket_apply)
+        use, si, sc = refs, spec_idx, cols
+        if spec_idx is not None:
+            use = [_project_task.remote(r, spec_idx, cols) for r in refs]
+            si, sc = None, None
+        return _rd.from_arrow_refs(
+            [_concat_merge_task.remote(spec, names, si, sc, empty, *use)]
+        )
+
     if refs and len(refs) * buckets <= MAX_EXCHANGE_FANOUT:
         split_out = [
             _split_task.options(num_returns=buckets).remote(
@@ -461,14 +485,20 @@ def _exchange_merge(
         return out.rename_columns([names.get(c, c) for c in out.column_names])
 
     if not refs:
-        out = partial.repartition(1).map_batches(
+        if empty is None:
+            # fail as loudly as the schema-less-blocks case in the merge
+            # tasks: silently returning a schema-less dataset would move
+            # the failure to a distant downstream .sort()/column select
+            raise ValueError(
+                "grouped(): input produced no blocks (fully empty input) "
+                "and no `empty` fallback table was supplied — pass "
+                "grouped(..., empty=<final-schema empty table>)"
+            )
+        # a zero-block dataset runs NO map UDF, so `finish` alone cannot
+        # supply the schema — the appended typed 0-row block does
+        return partial.repartition(1).map_batches(
             finish, batch_format="pyarrow", batch_size=None
-        )
-        if empty is not None:
-            # a zero-block dataset runs NO map UDF, so `finish` alone
-            # cannot supply the schema — the appended typed 0-row block does
-            out = out.union(_rd.from_arrow(empty))
-        return out
+        ).union(_rd.from_arrow(empty))
 
     # partial-schema empty derived from the FINAL-schema `empty` by inverse
     # rename (agg types are preserved through the merge), so the sort-shuffle
@@ -505,6 +535,17 @@ def _exchange_merge(
     return out
 
 
+def _normalize_block(t):
+    """Pandas block → metadata-free Arrow (shared by both sides of the
+    group exchange): from_pandas schema metadata is unhashable and breaks
+    Ray's downstream schema dedup (sort reduce warns per block)."""
+    if isinstance(t, pd.DataFrame):
+        return pa.Table.from_pandas(
+            t, preserve_index=False
+        ).replace_schema_metadata(None)
+    return t
+
+
 @ray.remote
 def _split_group_task(t, keys: tuple[str, ...], buckets: int):
     """Map side of :func:`hash_bucket_apply`: order one block by key-hash
@@ -513,12 +554,7 @@ def _split_group_task(t, keys: tuple[str, ...], buckets: int):
     hands block refs through as-is) — normalize to Arrow here.  Ray also
     emits schema-LESS empty blocks (e.g. SplitBlocks over a tiny file);
     they carry no key columns, so scatter them as empties."""
-    if isinstance(t, pd.DataFrame):
-        # metadata-free: from_pandas schema metadata is unhashable and
-        # breaks Ray's downstream schema dedup (sort reduce warns per block)
-        t = pa.Table.from_pandas(
-            t, preserve_index=False
-        ).replace_schema_metadata(None)
+    t = _normalize_block(t)
     if t.num_rows == 0:
         return [t.schema.empty_table()] * buckets
     # shared kernel with grouped()'s _split_task: bucket order + per-slice
@@ -539,10 +575,7 @@ def _apply_group_task(fn, empty: pa.Table | None, *shards: pa.Table) -> pa.Table
     The no-split fast path (buckets == 1) feeds raw block refs here, so
     pandas blocks are normalized like on the split side."""
     parts = [
-        pa.Table.from_pandas(s, preserve_index=False).replace_schema_metadata(
-            None
-        )
-        if isinstance(s, pd.DataFrame)
+        _normalize_block(s) if isinstance(s, pd.DataFrame)
         else _decode_exchange(s)
         for s in shards
     ]
@@ -899,7 +932,12 @@ def topk(ds: Dataset, k: int, sort_keys: list[tuple[str, str]]) -> Dataset:
             return t
         return t.take(pc.select_k_unstable(t, k=k, sort_keys=sort_keys))
 
-    pruned = ds.map_batches(local, batch_format="pyarrow")
+    # batch_size=None: the prune must see WHOLE blocks — Ray's default
+    # ~1024-row batching would keep a top-k per slice (~rows/1024 × k
+    # candidates per block), defeating the documented blocks × k bound
+    pruned = ds.map_batches(
+        local, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     cols = [s[0] for s in sort_keys]
     desc = [s[1] == "descending" for s in sort_keys]
     return pruned.sort(cols, descending=desc).limit(k)

@@ -90,8 +90,9 @@ MINHASH_B = [(40503 * (i + 13)) % ((1 << 31) - 107) for i in range(MINHASH_K)]
 # far smaller than the corpus — but a conservative gate on the input size
 # keeps the policy obviously safe).
 _CHAIN_CACHE: dict = {}
+# int(float(...)) so scientific notation ("2e9") works in the env override
 CHAIN_CACHE_MAX_BYTES = int(
-    __import__("os").environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", int(2e9))
+    float(__import__("os").environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", 2e9))
 )
 # one corpus pins up to 10 memoized stages (minhash_sigs, candidate_pairs,
 # verify_triples, shingle_side, dedup_decision, simhash, quality_int,

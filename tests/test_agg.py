@@ -379,3 +379,45 @@ def test_grouped_nullable_key_buckets():
     assert by_k[7] == (3, 7)      # one merged row, not split partials
     assert by_k[None] == (2, 24)  # nulls co-locate too
 
+
+
+def test_grouped_null_bool_key(ray_session):
+    """Null-bearing bool key columns must bucket deterministically: the
+    null fill previously built pa.scalar(0, type=bool_) which raises
+    ArrowInvalid inside the split task."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from oplog_analyzer_ray.pipelines.agg import GroupSpec, grouped
+
+    t = pa.table({"k": pa.array([True, None, False, None, True])})
+    out = (
+        grouped(ray.data.from_arrow(t), GroupSpec(keys=("k",)), buckets=4)
+        .to_pandas()
+        .sort_values("cnt")
+        .reset_index(drop=True)
+    )
+    # True x2, False x1, null x2 — three distinct groups survive the fill
+    assert sorted(out["cnt"].tolist()) == [1, 2, 2]
+
+
+def test_grouped_buckets_one_past_small_merge(ray_session):
+    """buckets=1 with more partial rows than SMALL_MERGE_ROWS must take the
+    single-merge-task fast path: options(num_returns=1) returns a bare
+    ObjectRef, so the split/merge loop raised TypeError before the guard."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from oplog_analyzer_ray.pipelines.agg import (
+        SMALL_MERGE_ROWS,
+        GroupSpec,
+        grouped,
+    )
+
+    n = SMALL_MERGE_ROWS + 1024  # all-distinct keys -> n partial rows
+    t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
+    out = grouped(ray.data.from_arrow(t), GroupSpec(keys=("k",)), buckets=1)
+    assert out.count() == n
