@@ -227,6 +227,19 @@ def _final_names(spec: GroupSpec) -> dict[str, str]:
     return names
 
 
+def pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Append one typed zero-row block.  Ray skips map UDFs on empty blocks
+    (and sort drops them entirely), so an operator whose input legitimately
+    empties out — a zero-row table, a corpus with no duplicate pairs —
+    would otherwise surface a schema-LESS result that breaks downstream
+    sort/select and the operator's documented output contract.  One 0-row
+    block, no other cost.  The single definition shared by every pipeline
+    module's report surfaces."""
+    import ray.data as _rd
+
+    return ds.union(_rd.from_arrow(schema.empty_table()))
+
+
 def final_empty(spec: GroupSpec, types: dict[str, "pa.DataType"]) -> pa.Table:
     """Zero-row FINAL-schema table for ``grouped(spec, ...)``'s ``empty=``,
     derived from the spec so call sites only supply source-column dtypes:

@@ -127,12 +127,7 @@ def _chain_cached(
 
 
 # ------------------------------------------------------------------ helpers
-def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
-    """Append one typed zero-row block: Ray skips map UDFs on empty blocks
-    and sort drops them, so a corpus with no duplicate pairs (or no
-    documents at all) would otherwise surface a schema-less result from the
-    report surfaces.  One 0-row block, no other cost."""
-    return ds.union(ray.data.from_arrow(schema.empty_table()))
+from .agg import pin_schema as _pin_schema  # shared schema pin
 
 
 _CAND_SCHEMA = pa.schema(

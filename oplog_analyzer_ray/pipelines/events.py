@@ -34,14 +34,7 @@ from ray.data import Dataset
 from .agg import GroupSpec, final_empty, grouped
 
 
-def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
-    """Append one typed zero-row block.  Ray skips map UDFs on empty blocks
-    (and drops the schema of all-empty map outputs), so an operator whose
-    input legitimately empties out — no purchases, a zero-row corpus —
-    would otherwise surface a schema-LESS result that breaks downstream
-    sort/select and the operator's documented output contract.  The pin
-    costs one 0-row block and nothing else."""
-    return ds.union(ray.data.from_arrow(schema.empty_table()))
+from .agg import pin_schema as _pin_schema  # shared schema pin
 
 SESSION_GAP_S = 7200  # new session when idle > 2h
 SESSION_ROWS_PER_BUCKET = 500_000  # per-task slice ceiling

@@ -50,11 +50,7 @@ def _empty_ds(schema: pa.Schema):
     return _rd.from_arrow(schema.empty_table())
 
 
-def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
-    """Append one typed zero-row block — Ray skips map UDFs on empty
-    blocks and sort drops them, so pipelines whose pair/candidate set is
-    legitimately empty would otherwise surface a schema-less result."""
-    return ds.union(_empty_ds(schema))
+from .agg import pin_schema as _pin_schema  # shared schema pin
 
 def _cand_table(parts: list) -> pa.Table:
     """Assemble per-query candidate slices ``(qid, neighbor_ids, cos)`` into

@@ -69,11 +69,7 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
     )
 
 
-def _pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
-    """Append one typed zero-row block — Ray skips map UDFs on empty blocks
-    and sort drops them, so an empty documents table would otherwise
-    surface a schema-less result from the report surfaces."""
-    return ds.union(ray.data.from_arrow(schema.empty_table()))
+from .agg import pin_schema as _pin_schema  # shared schema pin
 
 
 def _trunc6(s):
@@ -85,6 +81,23 @@ def _trunc6(s):
 
 def _md5_series(s: pd.Series) -> pd.Series:
     return s.map(lambda x: hashlib.md5(x.encode()).hexdigest())
+
+
+def _salted_permille(doc_ids: pd.Series, salt: str) -> pd.Series:
+    """Deterministic permille in [0, 1000) from a salted md5 of the doc id
+    — the shared gate under train_val_split / importance_sample (each with
+    its own salt, so the draws are independent).  Must stay byte-identical
+    to the oracle SQL's md5 expression."""
+    return (
+        doc_ids.map(
+            lambda d: int(
+                hashlib.md5((salt + str(int(d))).encode()).hexdigest()[:8],
+                16,
+            )
+            % 1000
+        )
+        .astype("int64")
+    )
 
 
 def _exploded_tokens(df: pd.DataFrame):
@@ -317,11 +330,9 @@ def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK_K) -> Dataset:
                     "df": pa.array([], pa.int64()),
                 }
             )
-        flat = np.empty(total, dtype=object)
-        pos = 0
-        for t in toks:
-            flat[pos : pos + len(t)] = t
-            pos += len(t)
+        # C-level flatten (the bigram_pmi/_batch_shingles idiom) — a
+        # Python per-document loop here was the hottest full-corpus pass
+        flat = toks.explode().to_numpy()
         doc_idx = np.repeat(np.arange(len(df), dtype=np.int64), lens)
         # a bigram is valid where token i and i+1 belong to the same doc
         valid = doc_idx[:-1] == doc_idx[1:]
@@ -588,15 +599,23 @@ def eval_gram_hits(df: pd.DataFrame, grams) -> pd.Series:
     )
 
 
-def dup_2gram_fraction(df: pd.DataFrame) -> pd.Series:
-    """Duplicated-2-gram fraction per document row (float64, untruncated;
-    0.0 for docs with no 2-grams) — the repetition-gate input shared with
-    :mod:`~oplog_analyzer_ray.pipelines.curate`."""
+def _2gram_stats(df: pd.DataFrame):
+    """Per-document word-2-gram (grams, total, distinct) — the one place
+    the 2-gram convention lives; both the curation gate and the
+    repetition report derive from it so they cannot drift."""
     g = _word_ngrams(df, 2).dropna()
     total = g.groupby(level=0).size().reindex(df.index).fillna(0).astype("int64")
     distinct = (
         g.groupby(level=0).nunique().reindex(df.index).fillna(0).astype("int64")
     )
+    return g, total, distinct
+
+
+def dup_2gram_fraction(df: pd.DataFrame) -> pd.Series:
+    """Duplicated-2-gram fraction per document row (float64, untruncated;
+    0.0 for docs with no 2-grams) — the repetition-gate input shared with
+    :mod:`~oplog_analyzer_ray.pipelines.curate`."""
+    _, total, distinct = _2gram_stats(df)
     return ((total - distinct).astype("float64") / total.astype("float64")).fillna(
         0.0
     )
@@ -642,11 +661,7 @@ def repetition_scores(sf_dir: str) -> Dataset:
     oracle is bit-exact (then truncated to 6dp like every float here)."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        g = _word_ngrams(df, 2).dropna()
-        total = g.groupby(level=0).size().reindex(df.index).fillna(0).astype("int64")
-        distinct = (
-            g.groupby(level=0).nunique().reindex(df.index).fillna(0).astype("int64")
-        )
+        g, total, distinct = _2gram_stats(df)
         top = (
             g.groupby([g.index, g])
             .size()
@@ -862,6 +877,16 @@ def token_rarity(sf_dir: str) -> Dataset:
             _VOCAB_CACHE[key] = v
         toks = df["text"].str.split(" ")
         n = toks.str.len().astype("int64")
+        # exactness guard: commonness divides by n·total, computed in int64
+        # then converted to float64 — both exact only below 2^53.  Fail
+        # loudly past that (same loud-boundary convention as the CC
+        # convergence guard) instead of silently wrapping/rounding.
+        if len(n) and int(n.max()) * total > (1 << 53):
+            raise RuntimeError(
+                "token_rarity: n_tokens × total_tokens exceeds the exact "
+                "float64 range (2^53) — the commonness ratio would lose "
+                "bit-parity; rescale or shard the corpus"
+            )
         # dict miss == "count ≤ CNT_FLOOR", which clamps to exactly the floor
         c = toks.explode().map(v).fillna(CNT_FLOOR).astype("int64")
         s = c.groupby(level=0).sum().reindex(df.index).astype("int64")
@@ -1339,19 +1364,7 @@ def train_val_split(sf_dir: str) -> Dataset:
     The SQL oracle re-derives the identical gate."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        h = (
-            df["doc_id"]
-            .map(
-                lambda d: int(
-                    hashlib.md5(
-                        (SPLIT_SALT + str(int(d))).encode()
-                    ).hexdigest()[:8],
-                    16,
-                )
-                % 1000
-            )
-            .astype("int64")
-        )
+        h = _salted_permille(df["doc_id"], SPLIT_SALT)
         split = np.select(
             [h < SPLIT_TRAIN_LT, h < SPLIT_VAL_LT],
             ["train", "val"],
@@ -1752,37 +1765,22 @@ def zipf_slope(sf_dir: str) -> Dataset:
     token-stream-sized) through the standard grouped() merge, then
     :func:`~.agg.topk` prunes to blocks × N rows before the tiny global
     sort; the driver fits over ≤ N rows.  Rank order is the total order
-    (cnt desc, tok asc) on both engines; the fit sums are the identical
-    float64 expression tree as ``oracle.ZIPF_SLOPE``, 6dp-truncated."""
-    from .agg import GroupSpec, grouped, topk
+    (cnt desc, tok asc) on both engines; the fit sums write the SAME
+    float64 expression as ``oracle.ZIPF_SLOPE``, but numpy's pairwise
+    summation and DuckDB's accumulation order can differ in final ulps —
+    the shared 1e-6-boundary risk class every transcendental surface in
+    this repo accepts (ln() here; cosine elsewhere), 6dp-truncated."""
+    from .agg import topk
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        _, _, ex = _exploded_tokens(df)
-        vc = ex.value_counts()
-        return pd.DataFrame(
-            {
-                "tok": vc.index.to_numpy(),
-                "n": vc.to_numpy().astype("int64"),
-            }
-        )
-
-    def rename(t):
-        import pyarrow as _pa
-
-        return _pa.table(
-            {"tok": t.column("tok"), "cnt": t.column("sum_n")}
-        )
-
-    from .agg import final_empty
-
-    zspec = GroupSpec(keys=("tok",), count=False, sum_cols=("n",))
-    counts = grouped(
-        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-            partial, batch_format="pandas"
+    # the head counts ARE the corpus unigram frequencies — reuse the
+    # shared (and session-consistent) aggregation instead of a second
+    # verbatim implementation
+    counts = _unigram_counts(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"tok": t.column("tok"), "cnt": t.column("sum_cnt")}
         ),
-        zspec,
-        empty=final_empty(zspec, {"tok": pa.string(), "n": pa.int64()}),
-    ).map_batches(rename, batch_format="pyarrow")
+        batch_format="pyarrow",
+    )
     head = topk(
         counts, ZIPF_RANKS, [("cnt", "descending"), ("tok", "ascending")]
     ).to_pandas()  # ≤ ZIPF_RANKS rows by construction
@@ -1832,19 +1830,7 @@ def importance_sample(sf_dir: str) -> Dataset:
     ``oracle.IMPORTANCE_SAMPLE``."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        h = (
-            df["doc_id"]
-            .map(
-                lambda d: int(
-                    hashlib.md5(
-                        (IMP_SALT + str(int(d))).encode()
-                    ).hexdigest()[:8],
-                    16,
-                )
-                % 1000
-            )
-            .astype("int64")
-        )
+        h = _salted_permille(df["doc_id"], IMP_SALT)
         keep = h < (df["q_int"] // 1000)
         out = pd.DataFrame(
             {
@@ -2113,7 +2099,16 @@ def bigram_pmi(sf_dir: str) -> Dataset:
         cxy = int(r["sum_cnt"])
         score = (cxy * int(n_uni) * int(n_uni) * 1_000_000) // (
             int(n_bi) * ucnt[w1] * ucnt[w2]
-        )  # exact arbitrary-precision int, result fits int64
+        )  # exact arbitrary-precision int
+        if score > (1 << 63) - 1:
+            # fits int64 under Zipf-shaped heads, but an adversarial corpus
+            # (huge n_uni, tiny head counts) can exceed it — fail loudly
+            # rather than let pa.array raise a bare OverflowError
+            raise RuntimeError(
+                f"bigram_pmi: exact score for {r['ngram']!r} exceeds int64 "
+                "(n_uni²·1e6 dwarfs the bigram's unigram counts) — the "
+                "micro-scaled integer encoding needs a wider type here"
+            )
         rows.append((r["ngram"], cxy, score))
     rows.sort(key=lambda t: (-t[2], t[0]))
     rows = rows[:PMI_TOPK]
