@@ -451,24 +451,16 @@ def _exchange_merge(
     if n_rows is None:
         n_rows = partial.count()
 
-    if refs and n_rows <= SMALL_MERGE_ROWS:
+    # one merge task over all blocks, for either reason: few enough partial
+    # rows that a single vectorized group_by wins, or degenerate exchange
+    # width (buckets == 1: options(num_returns=1) would hand back a bare
+    # ObjectRef, not a list, so the split/merge loop below cannot run — and
+    # one merge task IS the exact plan anyway, same as hash_bucket_apply)
+    if refs and (n_rows <= SMALL_MERGE_ROWS or buckets == 1):
         use, si, sc = refs, spec_idx, cols
         if spec_idx is not None:
             # project each union block where it lives; only THIS spec's
-            # <= n_rows partial rows cross to the single merge worker
-            use = [_project_task.remote(r, spec_idx, cols) for r in refs]
-            si, sc = None, None
-        return _rd.from_arrow_refs(
-            [_concat_merge_task.remote(spec, names, si, sc, empty, *use)]
-        )
-
-    if refs and buckets == 1:
-        # degenerate width: options(num_returns=1) would hand back a bare
-        # ObjectRef (not a list), so the split/merge loop below cannot run —
-        # one merge task over all blocks is the exact plan anyway (same
-        # fast path as hash_bucket_apply)
-        use, si, sc = refs, spec_idx, cols
-        if spec_idx is not None:
+            # partial rows cross to the single merge worker
             use = [_project_task.remote(r, spec_idx, cols) for r in refs]
             si, sc = None, None
         return _rd.from_arrow_refs(

@@ -326,16 +326,14 @@ def split_leakage_report(sf_dir: str) -> Dataset:
             }
         )
 
-    out = hist.map_batches(finish, batch_format="pyarrow").sort(["split"])
+    from .agg import pin_schema
+
     # schema pin: Ray skips map UDFs on empty blocks and sort drops them,
     # so an empty corpus would otherwise surface a schema-less report
-    import ray.data as _rd
-
-    return out.union(
-        _rd.from_arrow(
-            pa.schema(
-                [("split", pa.string()), ("n_docs", pa.int64()),
-                 ("n_tokens", pa.int64()), ("leaked_docs", pa.int64())]
-            ).empty_table()
-        )
+    return pin_schema(
+        hist.map_batches(finish, batch_format="pyarrow").sort(["split"]),
+        pa.schema(
+            [("split", pa.string()), ("n_docs", pa.int64()),
+             ("n_tokens", pa.int64()), ("leaked_docs", pa.int64())]
+        ),
     )

@@ -42,6 +42,7 @@ Shingle/hash conventions (mirrored EXACTLY in oracle.py SQL):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -92,7 +93,7 @@ MINHASH_B = [(40503 * (i + 13)) % ((1 << 31) - 107) for i in range(MINHASH_K)]
 _CHAIN_CACHE: dict = {}
 # int(float(...)) so scientific notation ("2e9") works in the env override
 CHAIN_CACHE_MAX_BYTES = int(
-    float(__import__("os").environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", 2e9))
+    float(os.environ.get("OPLOG_CHAIN_CACHE_MAX_BYTES", 2e9))
 )
 # one corpus pins up to 10 memoized stages (minhash_sigs, candidate_pairs,
 # verify_triples, shingle_side, dedup_decision, simhash, quality_int,

@@ -75,37 +75,49 @@ def _cand_table(parts: list) -> pa.Table:
     return pa.table({"query_id": qid, "neighbor_id": nid, "cos_raw": cos})
 
 
+@ray.remote
+def _knn_finish_task(*parts: pa.Table) -> pa.Table:
+    """Concat the bounded candidate blocks and do the per-query top-k
+    (cos desc, neighbor_id asc tie-break) in one worker task.  Schema-less
+    parts (Ray strips the schema of all-empty map outputs) are dropped; a
+    fully-empty candidate set — e.g. a single-vector corpus, where self is
+    excluded everywhere — still returns the documented typed schema."""
+    tabs = [t for t in parts if t.num_columns]
+    if not tabs:
+        return _KNN_SCHEMA.empty_table()
+    df = pa.concat_tables(tabs, promote_options="default").to_pandas()
+    df = df.sort_values(
+        ["query_id", "cos_raw", "neighbor_id"],
+        ascending=[True, False, True],
+    )
+    top = df.groupby("query_id", sort=True).head(TOP_K)
+    # Metadata-free Arrow out: downstream consumers (ann_recall_report)
+    # repartition these blocks, and schemas carrying pandas metadata
+    # are unhashable in Ray's reduce-side schema dedup.
+    return pa.table(
+        {
+            "query_id": top["query_id"].to_numpy().astype(np.int64),
+            "neighbor_id": top["neighbor_id"].to_numpy().astype(np.int64),
+            "cos": np.floor(top["cos_raw"].to_numpy() * 1e6) / 1e6,
+        }
+    )
+
+
 def _knn_finish(cands: Dataset) -> Dataset:
     """Final exact merge for the knn family, in the dataset plane: the
     bounded candidate set (blocks × k × q rows — a few thousand) coalesces
-    to ONE worker task that does the per-query top-k (cos desc, neighbor_id
-    asc tie-break).  Nothing lands on the driver (round-3 VERDICT: the
-    previous finish was a driver-side ``.to_pandas()``), and the one narrow
-    exchange beats a sort-based ``groupby(query_id)`` finish by two
-    all-to-all stages (measured +0.7 s of pure executor overhead at sf0.1).
-    The single-task plan is exact because q (the query batch) is small by
-    contract; a large query batch would shard this by query_id instead."""
-
-    def finish(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(
-            ["query_id", "cos_raw", "neighbor_id"],
-            ascending=[True, False, True],
-        )
-        top = df.groupby("query_id", sort=True).head(TOP_K)
-        # Metadata-free Arrow out: downstream consumers (ann_recall_report)
-        # repartition these blocks, and schemas carrying pandas metadata
-        # are unhashable in Ray's reduce-side schema dedup.
-        return pa.table(
-            {
-                "query_id": top["query_id"].to_numpy().astype(np.int64),
-                "neighbor_id": top["neighbor_id"].to_numpy().astype(np.int64),
-                "cos": np.floor(top["cos_raw"].to_numpy() * 1e6) / 1e6,
-            }
-        )
-
-    return cands.repartition(1).map_batches(
-        finish, batch_format="pandas", batch_size=None
-    )
+    to ONE worker task that does the per-query top-k.  Nothing lands on the
+    driver (round-3 VERDICT: the previous finish was a driver-side
+    ``.to_pandas()``), and the single merge task beats both a sort-based
+    ``groupby(query_id)`` finish (two extra all-to-all stages, measured
+    +0.7 s of executor overhead at sf0.1) and the previous
+    ``repartition(1)`` plan (one all-to-all stage, and Ray skips map UDFs
+    on the empty repartitioned block, surfacing a schema-less dataset on a
+    single-vector corpus).  The one-task plan is exact because q (the
+    query batch) is small by contract; a large query batch would shard
+    this by query_id instead."""
+    refs = cands.to_arrow_refs()
+    return ray.data.from_arrow_refs([_knn_finish_task.remote(*refs)])
 
 
 def embeddings_path(sf_dir: str) -> str:
@@ -667,22 +679,29 @@ def _knn_graph_uncached(sf_dir: str, k: int, n_chunks: int | None) -> Dataset:
             }
         )
 
-    return hash_bucket_apply(
-        cands,
-        ("vec_id",),
-        merge_topk,
-        dyn_buckets(16),
-        use_exchange=corpus_bytes(sf_dir, "embeddings")
-        <= EXCHANGE_GATE_MAX_BYTES,
-        empty=pa.schema(
-            [
-                ("vec_id", pa.int64()),
-                ("neighbor_id", pa.int64()),
-                ("rank", pa.int64()),
-                ("cos", pa.float64()),
-            ]
-        ).empty_table(),
-    ).sort(["vec_id", "rank"])
+    graph_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("rank", pa.int64()),
+            ("cos", pa.float64()),
+        ]
+    )
+    # pin AFTER the sort: a single-vector corpus yields only empty blocks
+    # (self excluded), and sort drops the typed empty the exchange's
+    # ``empty=`` provided — without the pin the graph surfaces schema-less
+    return _pin_schema(
+        hash_bucket_apply(
+            cands,
+            ("vec_id",),
+            merge_topk,
+            dyn_buckets(16),
+            use_exchange=corpus_bytes(sf_dir, "embeddings")
+            <= EXCHANGE_GATE_MAX_BYTES,
+            empty=graph_schema.empty_table(),
+        ).sort(["vec_id", "rank"]),
+        graph_schema,
+    )
 
 
 def mutual_knn_pairs(sf_dir: str) -> Dataset:

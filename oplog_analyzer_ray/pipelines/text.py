@@ -1842,10 +1842,18 @@ def importance_sample(sf_dir: str) -> Dataset:
         )
         return out[keep.to_numpy()]
 
-    return (
+    # pin: the gate legitimately filters to EMPTY (every doc with
+    # q_int < 1000 has keep-probability 0), and Ray drops the schema of
+    # all-empty map outputs — without the pin the sorted surface would be
+    # schema-less on that input instead of the documented 4 columns.
+    return _pin_schema(
         quality_int_table(sf_dir)
         .map_batches(fn, batch_format="pandas")
-        .sort(["doc_id"])
+        .sort(["doc_id"]),
+        pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("q_int", pa.int64()), ("hash_permille", pa.int64())]
+        ),
     )
 
 

@@ -795,3 +795,71 @@ def test_boilerplate_tiny_corpus_parity(tmp_path, duck):
     assert (by_id.loc[range(6), "n_boiler"] > 0).all()
     assert (by_id.loc[[6, 7, 8], "n_boiler"] == 0).all()
     assert (by_id.loc[[6, 7], "n_shingles"] == 1).all()  # whole-text shingle
+
+
+def test_knn_single_vector_corpus_keeps_schema(tmp_path):
+    """A single-vector embeddings corpus passes the qids guard (vec_id 0 IS
+    a query) but excludes itself everywhere, so every candidate block is
+    0-row — the knn family must still surface its documented 3-column
+    schema, not a zero-column dataset (review finding: Ray drops the schema
+    of all-empty map outputs and _knn_finish's UDF never runs)."""
+    from oplog_analyzer_ray.pipelines.similarity import (
+        knn_bruteforce,
+        knn_graph,
+        knn_lsh,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[0.1, 0.2, 0.3]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    for fn, names in (
+        (knn_bruteforce, ["query_id", "neighbor_id", "cos"]),
+        (knn_lsh, ["query_id", "neighbor_id", "cos"]),
+        (knn_graph, ["vec_id", "neighbor_id", "rank", "cos"]),
+    ):
+        out = fn(str(tmp_path))
+        # dataset-level contract: typed schema even though every block is
+        # 0-row (Ray's to_pandas drops columns on fully-empty datasets, so
+        # schema() is where the contract is observable)
+        assert out.schema().names == names, fn.__name__
+        assert len(out.to_pandas()) == 0, fn.__name__
+
+
+def test_importance_sample_all_filtered_keeps_schema(tmp_path):
+    """A corpus where every document draws hash_permille above its quality
+    permille keeps NOTHING (doc_ids 9/138/393 have salted permille
+    997/996/997 under IMP_SALT; empty texts score q_int ≈ 753906, permille
+    753); the sorted surface must still carry the documented 4 columns
+    (review finding: unpinned sort over all-empty map outputs)."""
+    from oplog_analyzer_ray.pipelines.text import (
+        IMP_SALT,
+        _salted_permille,
+        importance_sample,
+    )
+
+    ids = [9, 138, 393]
+    # pinned precondition: these ids really do draw ≥ 990 under IMP_SALT
+    assert (_salted_permille(pd.Series(ids, dtype="int64"), IMP_SALT)
+            >= 990).all()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["", "", ""]),
+                "source": pa.array(["a", "b", "a"]),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    out = importance_sample(str(tmp_path))
+    assert out.schema().names == [
+        "doc_id", "source", "q_int", "hash_permille",
+    ]
+    assert len(out.to_pandas()) == 0
