@@ -919,7 +919,29 @@ def copartitioned_hot_keys(data_dir: str, k: int = 20) -> Dataset:
     return topk(cands, k, sort_keys)
 
 
-def topk(ds: Dataset, k: int, sort_keys: list[tuple[str, str]]) -> Dataset:
+@ray.remote
+def _topk_finish_task(
+    sort_keys: list, k: int, empty: pa.Table, *parts: pa.Table
+) -> pa.Table:
+    """One-task exact finish over the locally-pruned candidate blocks
+    (≤ blocks × k rows by construction): concat, full sort under the total
+    order, head k.  Schema-less parts (Ray strips the schema of all-empty
+    map outputs) are dropped; a fully-empty candidate set returns the
+    caller's typed ``empty`` table."""
+    tabs = [t for t in parts if t.num_columns]
+    if not tabs:
+        return empty
+    t = pa.concat_tables(tabs, promote_options="default")
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    return t.take(idx.slice(0, min(k, t.num_rows)))
+
+
+def topk(
+    ds: Dataset,
+    k: int,
+    sort_keys: list[tuple[str, str]],
+    empty: pa.Table | None = None,
+) -> Dataset:
     """Distributed deterministic top-K under a TOTAL order.
 
     A global ``sort().limit(k)`` range-partitions every group row; for top-K
@@ -930,6 +952,15 @@ def topk(ds: Dataset, k: int, sort_keys: list[tuple[str, str]]) -> Dataset:
     the reference's sort-the-accumulator-map top-K
     (IdStatisticsManager.java:100-103) that still works when the key space
     (hot conv_ids at 10^12-turn scale) dwarfs driver memory.
+
+    ``empty`` (a typed zero-row table) opts into a single-merge-task finish
+    that survives a fully-empty candidate set with the documented schema.
+    The lazy ``sort().limit(k)`` plan cannot be schema-pinned: a union
+    appended before OR after the limit trips Ray's ``plan_union_op``
+    assertion when ``Dataset.schema()`` stacks its own ``limit(1)`` on top,
+    and without a pin an all-empty input surfaces schema-less.  The task
+    finish is the same exact computation (full sort of ≤ blocks × k rows,
+    then head k) in one bounded task.
     """
 
     def local(t: pa.Table) -> pa.Table:
@@ -943,6 +974,13 @@ def topk(ds: Dataset, k: int, sort_keys: list[tuple[str, str]]) -> Dataset:
     pruned = ds.map_batches(
         local, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+    if empty is not None:
+        import ray.data as _rd
+
+        refs = pruned.to_arrow_refs()
+        return _rd.from_arrow_refs(
+            [_topk_finish_task.remote(sort_keys, k, empty, *refs)]
+        )
     cols = [s[0] for s in sort_keys]
     desc = [s[1] == "descending" for s in sort_keys]
     return pruned.sort(cols, descending=desc).limit(k)

@@ -138,13 +138,24 @@ def curated_corpus(sf_dir: str) -> Dataset:
     from .agg import hash_bucket_apply
     from .dedup import _use_exchange
 
-    return hash_bucket_apply(
-        side_a.union(side_b),
-        ("doc_id",),
-        join,
-        buckets,
-        use_exchange=_use_exchange(sf_dir),
-    ).sort(["doc_id"])
+    from .agg import pin_schema
+
+    # pin AFTER the sort (which drops empty blocks): a fully-filtered
+    # corpus — every doc gated out — must still surface the documented
+    # 4-column schema
+    return pin_schema(
+        hash_bucket_apply(
+            side_a.union(side_b),
+            ("doc_id",),
+            join,
+            buckets,
+            use_exchange=_use_exchange(sf_dir),
+        ).sort(["doc_id"]),
+        pa.schema(
+            [("doc_id", pa.int64()), ("lang", pa.string()),
+             ("quality", pa.float64()), ("cluster_size", pa.int64())]
+        ),
+    )
 
 
 def split_leakage_report(sf_dir: str) -> Dataset:

@@ -296,8 +296,14 @@ def _minhash_signatures_uncached(sf_dir: str) -> Dataset:
             out[f"mh_{i:02d}"] = mins[i]
         return pd.DataFrame(out)
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64())]
+            + [(f"mh_{i:02d}", pa.int64()) for i in range(MINHASH_K)]
+        ),
     )
 
 
@@ -893,8 +899,11 @@ def simhash64(sf_dir: str) -> Dataset:
             {"doc_id": df["doc_id"], "simhash": u.view(np.int64)}
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema([("doc_id", pa.int64()), ("simhash", pa.int64())]),
     )
 
 
@@ -1974,7 +1983,14 @@ def substring_dedup(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(fin, batch_format="pyarrow").sort(["whash"])
+    return _pin_schema(
+        g.map_batches(fin, batch_format="pyarrow").sort(["whash"]),
+        pa.schema(
+            [("whash", pa.string()), ("n_docs", pa.int64()),
+             ("n_occ", pa.int64()), ("min_doc_id", pa.int64()),
+             ("max_doc_id", pa.int64())]
+        ),
+    )
 
 
 # ----------------------------------------------------- prefix dup grouping
@@ -2034,7 +2050,13 @@ def prefix_dup_groups(sf_dir: str) -> Dataset:
             }
         )
 
-    return g.map_batches(fin, batch_format="pyarrow").sort(["phash"])
+    return _pin_schema(
+        g.map_batches(fin, batch_format="pyarrow").sort(["phash"]),
+        pa.schema(
+            [("phash", pa.string()), ("n_docs", pa.int64()),
+             ("min_doc_id", pa.int64()), ("max_doc_id", pa.int64())]
+        ),
+    )
 
 
 # ------------------------------------------------ minhash estimator QA

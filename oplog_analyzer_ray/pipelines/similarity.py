@@ -42,6 +42,11 @@ _KNN_SCHEMA = pa.schema(
 _PAIR_SCHEMA = pa.schema(
     [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
 )
+# the SemDeDup decision surface (semantic_dedup / semantic_dedup_lsh)
+_DECISION_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("cluster_id", pa.int64()),
+     ("cluster_size", pa.int64()), ("is_canonical", pa.bool_())]
+)
 
 
 def _empty_ds(schema: pa.Schema):
@@ -391,7 +396,9 @@ def embedding_near_dups(sf_dir: str, n_chunks: int | None = None) -> Dataset:
     ``embedding_near_dups_lsh``, which prunes candidates with the
     multi-probe hyperplane buckets instead.
     """
-    return _emb_pairs(sf_dir, n_chunks).sort(["vec_a", "vec_b"])
+    return _pin_schema(
+        _emb_pairs(sf_dir, n_chunks).sort(["vec_a", "vec_b"]), _PAIR_SCHEMA
+    )
 
 
 def _emb_pairs(sf_dir: str, n_chunks: int | None = None) -> Dataset:
@@ -516,14 +523,17 @@ def semantic_dedup(sf_dir: str) -> Dataset:
         columns=["vec_id"],
         schema=clean_read_schema(sf_dir, "embeddings", ["vec_id"]),
     )
-    return decision_from_labels(
-        ids,
-        labels,
-        "vec_id",
-        buckets,
-        use_exchange=corpus_bytes(sf_dir, "embeddings")
-        <= EXCHANGE_GATE_MAX_BYTES,
-    ).sort(["vec_id"])
+    return _pin_schema(
+        decision_from_labels(
+            ids,
+            labels,
+            "vec_id",
+            buckets,
+            use_exchange=corpus_bytes(sf_dir, "embeddings")
+            <= EXCHANGE_GATE_MAX_BYTES,
+        ).sort(["vec_id"]),
+        _DECISION_SCHEMA,
+    )
 
 
 K_GRAPH = 3  # neighbors per vector in the kNN graph
@@ -880,14 +890,17 @@ def semantic_dedup_lsh(sf_dir: str, emit_radius: int = 2) -> Dataset:
         columns=["vec_id"],
         schema=clean_read_schema(sf_dir, "embeddings", ["vec_id"]),
     )
-    return decision_from_labels(
-        ids,
-        labels,
-        "vec_id",
-        buckets,
-        use_exchange=corpus_bytes(sf_dir, "embeddings")
-        <= EXCHANGE_GATE_MAX_BYTES,
-    ).sort(["vec_id"])
+    return _pin_schema(
+        decision_from_labels(
+            ids,
+            labels,
+            "vec_id",
+            buckets,
+            use_exchange=corpus_bytes(sf_dir, "embeddings")
+            <= EXCHANGE_GATE_MAX_BYTES,
+        ).sort(["vec_id"]),
+        _DECISION_SCHEMA,
+    )
 
 
 IVF_CENTROIDS = 16

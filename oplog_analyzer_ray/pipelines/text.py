@@ -133,8 +133,15 @@ def token_counts(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("n_chars", pa.int64()), ("uniq_tokens", pa.int64()),
+             ("avg_token_len", pa.float64())]
+        ),
     )
 
 
@@ -194,8 +201,15 @@ def quality_scores(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("stopword_ratio", pa.float64()),
+             ("uniq_ratio", pa.float64()), ("punct_ratio", pa.float64()),
+             ("length_score", pa.float64()), ("quality", pa.float64())]
+        ),
     )
 
 
@@ -226,8 +240,16 @@ def lang_id(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        fn, batch_format="pandas"
+    # pin: a zero-row corpus yields only skipped (schema-less) map outputs
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("pred_lang", pa.string()),
+             ("labelled_lang", pa.string())]
+            + [(f"hits_{lang}", pa.int64()) for lang in langs]
+        ),
     )
 
 
@@ -288,8 +310,12 @@ def doc_fingerprints(sf_dir: str) -> Dataset:
             {"doc_id": df["doc_id"], "fp": fp, "fp8": fp.str.slice(0, 8)}
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema([("doc_id", pa.int64()), ("fp", pa.string()),
+                   ("fp8", pa.string())]),
     )
 
 
@@ -379,7 +405,16 @@ def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK_K) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    return topk(merged, k, [("cnt", "descending"), ("ngram", "ascending")])
+    # typed-empty finish: topk's lazy sort+limit drops the typed empty
+    # grouped() provided, so a zero-row corpus would otherwise surface a
+    # schema-less head (and a union pin trips Ray's limit/union planner)
+    return topk(
+        merged,
+        k,
+        [("cnt", "descending"), ("ngram", "ascending")],
+        empty=pa.schema([("ngram", pa.string()), ("cnt", pa.int64()),
+                         ("df", pa.int64())]).empty_table(),
+    )
 
 
 # -------------------------------------------------------- stratified sample
@@ -430,9 +465,13 @@ def stratified_sample(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
-        fn, batch_format="pandas"
-    ).sort(["doc_id"])
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+            fn, batch_format="pandas"
+        ).sort(["doc_id"]),
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                   ("hash_permille", pa.int64())]),
+    )
 
 
 # ------------------------------------------------------------ BPE-ish tokens
@@ -466,9 +505,16 @@ def token_counts_bpe(sf_dir: str) -> Dataset:
             )
         return pa.table(out)
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pyarrow"
-    ).sort(["doc_id"])
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pyarrow"
+        ).sort(["doc_id"]),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_bpe_tokens", pa.int64()),
+             ("n_word_tokens", pa.int64()), ("n_number_tokens", pa.int64()),
+             ("n_punct_tokens", pa.int64())]
+        ),
+    )
 
 
 # --------------------------------------------------------- rolling fingerprint
@@ -515,9 +561,15 @@ def rolling_fingerprints(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
-    ).sort(["doc_id"])
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ).sort(["doc_id"]),
+        pa.schema(
+            [("doc_id", pa.int64()), ("min_whash", pa.int64()),
+             ("max_whash", pa.int64()), ("distinct_windows", pa.int64())]
+        ),
+    )
 
 
 # ----------------------------------------------------------- decontamination
@@ -646,8 +698,14 @@ def decontaminate(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("eval_gram_hits", pa.int64()),
+             ("contaminated", pa.int64())]
+        ),
     )
 
 
@@ -683,8 +741,15 @@ def repetition_scores(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_2grams", pa.int64()),
+             ("dup_2gram_frac", pa.float64()),
+             ("top_2gram_frac", pa.float64())]
+        ),
     )
 
 
@@ -902,8 +967,15 @@ def token_rarity(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+             ("rarest_token_count", pa.int64()),
+             ("commonness", pa.float64())]
+        ),
     )
 
 
@@ -1374,9 +1446,13 @@ def train_val_split(sf_dir: str) -> Dataset:
             {"doc_id": df["doc_id"], "hash_permille": h, "split": split}
         )
 
-    return read_documents(sf_dir, ["doc_id"]).map_batches(
-        fn, batch_format="pandas"
-    ).sort(["doc_id"])
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id"]).map_batches(
+            fn, batch_format="pandas"
+        ).sort(["doc_id"]),
+        pa.schema([("doc_id", pa.int64()), ("hash_permille", pa.int64()),
+                   ("split", pa.string())]),
+    )
 
 
 # ----------------------------------------------------------------- tf-idf
@@ -1468,9 +1544,16 @@ def tfidf_topk(sf_dir: str) -> Dataset:
         out["doc_id"] = df["doc_id"].to_numpy()[out["row"].to_numpy()]
         return out[["doc_id", "token", "tf", "df", "score_micro"]]
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
-    ).sort(["doc_id", "token"])
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ).sort(["doc_id", "token"]),
+        pa.schema(
+            [("doc_id", pa.int64()), ("token", pa.string()),
+             ("tf", pa.int64()), ("df", pa.int64()),
+             ("score_micro", pa.int64())]
+        ),
+    )
 
 
 DOC_LEN_PCTS = (50, 90, 99)
@@ -1648,8 +1731,14 @@ def boilerplate_ngrams(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+            fn, batch_format="pandas"
+        ),
+        pa.schema(
+            [("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+             ("n_boiler", pa.int64()), ("boiler_permille", pa.int64())]
+        ),
     )
 
 
@@ -1713,11 +1802,17 @@ def top_docs_per_source(sf_dir: str) -> Dataset:
             out, preserve_index=False
         ).replace_schema_metadata(None)
 
-    return (
+    # pin: on an empty corpus the repartitioned block is empty and Ray
+    # skips fin, so the surface would otherwise be schema-less
+    return _pin_schema(
         quality_int_table(sf_dir)
         .map_batches(prune, batch_format="pandas")
         .repartition(1)
-        .map_batches(fin, batch_format="pandas", batch_size=None)
+        .map_batches(fin, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [("source", pa.string()), ("rnk", pa.int64()),
+             ("doc_id", pa.int64()), ("q_int", pa.int64())]
+        ),
     )
 
 
@@ -1746,8 +1841,15 @@ def doc_ttr(sf_dir: str) -> Dataset:
             }
         )
 
-    return read_documents(sf_dir, ["doc_id", "source", "text"]).map_batches(
-        fn, batch_format="pandas"
+    return _pin_schema(
+        read_documents(
+            sf_dir, ["doc_id", "source", "text"]
+        ).map_batches(fn, batch_format="pandas"),
+        pa.schema(
+            [("doc_id", pa.int64()), ("source", pa.string()),
+             ("n_tokens", pa.int64()), ("uniq_tokens", pa.int64()),
+             ("ttr", pa.float64())]
+        ),
     )
 
 

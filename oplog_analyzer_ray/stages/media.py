@@ -37,10 +37,18 @@ import ray.data
 from ray.data import Dataset
 
 from ..pipelines.text import documents_path
+from ..pipelines.agg import pin_schema as _pin_schema
 
 # wide payloads → small batches so batch × concurrency fits worker heap
 MEDIA_BATCH_SIZE = 64
 FAKE_FRAME_BYTES = 1024
+
+# media_features' documented output (fake-codec driver surface) — the pin
+# keeps an empty documents corpus from surfacing a schema-less dataset
+_FEATURE_SCHEMA = pa.schema(
+    [("media_id", pa.int64()), ("n_bytes", pa.int64()),
+     ("fp8", pa.string()), ("n_frames", pa.int64())]
+)
 
 
 def _payload_view(batch: pa.Table, name: str = "payload"):
@@ -274,7 +282,9 @@ def media_frame_sample(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
+    # pin: an empty documents corpus yields only skipped (schema-less)
+    # actor-stage outputs, and the sort drops them
+    return _pin_schema(
         docs.map_batches(to_payload, batch_format="pyarrow")
         .map_batches(
             MediaFrameSampleStage,
@@ -282,7 +292,12 @@ def media_frame_sample(sf_dir: str) -> Dataset:
             batch_size=MEDIA_BATCH_SIZE,
             concurrency=(1, 4),
         )
-        .sort(["media_id", "frame_idx"])
+        .sort(["media_id", "frame_idx"]),
+        pa.schema(
+            [("media_id", pa.int64()), ("frame_idx", pa.int64()),
+             ("frame_off", pa.int64()), ("frame_bytes", pa.int64()),
+             ("frame_fp8", pa.string())]
+        ),
     )
 
 
@@ -357,7 +372,7 @@ def media_resize(sf_dir: str) -> Dataset:
             }
         )
 
-    return (
+    return _pin_schema(
         docs.map_batches(to_payload, batch_format="pyarrow")
         .map_batches(
             MediaResizeStage,
@@ -368,7 +383,11 @@ def media_resize(sf_dir: str) -> Dataset:
         .map_batches(
             lambda t: t.drop_columns(["payload"]), batch_format="pyarrow"
         )
-        .sort(["media_id"])
+        .sort(["media_id"]),
+        pa.schema(
+            [("media_id", pa.int64()), ("in_bytes", pa.int64()),
+             ("out_bytes", pa.int64()), ("out_fp8", pa.string())]
+        ),
     )
 
 
@@ -391,11 +410,14 @@ def media_features(sf_dir: str) -> Dataset:
             }
         )
 
-    return docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
-        MediaFeatureStage,
-        batch_format="pyarrow",
-        batch_size=MEDIA_BATCH_SIZE,
-        concurrency=(1, 4),
+    return _pin_schema(
+        docs.map_batches(to_payload, batch_format="pyarrow").map_batches(
+            MediaFeatureStage,
+            batch_format="pyarrow",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+        ),
+        _FEATURE_SCHEMA,
     )
 
 

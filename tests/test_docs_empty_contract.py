@@ -109,6 +109,8 @@ def test_shingle_free_corpus_never_crashes(ray_session, short_dir, op):
 
 
 def _run(op, d):
+    import ray.data
+
     try:
         r = entrymod.queries()[op](d)
     except ValueError as ex:
@@ -116,5 +118,11 @@ def _run(op, d):
         # non-sf-dir inputs; anything else is a real failure
         assert "not an sf dir" in str(ex), (op, str(ex)[:200])
         return
-    if hasattr(r, "count"):
-        r.count()  # executing the plan is the assertion: no crash
+    if isinstance(r, ray.data.Dataset):
+        r.count()  # executing the plan is half the assertion: no crash
+        # the other half: the TYPED-schema contract survives even when
+        # every block empties out (Ray drops the schema of all-empty map
+        # outputs and sort drops empty blocks — every report surface pins
+        # a typed zero-row block so downstream sort/select keep working)
+        schema = r.schema()
+        assert schema is not None and len(schema.names) > 0, op
