@@ -73,8 +73,6 @@ def _events_rows(sf_dir: str) -> int:
 
 def _cluster_cpus() -> int:
     try:
-        import ray
-
         if ray.is_initialized():
             return int(ray.cluster_resources().get("CPU", 8))
     except Exception:
@@ -135,8 +133,6 @@ def _kmv_hashes(uniq) -> "np.ndarray":
     """Sorted distinct 63-bit md5 hashes of the given ids — the KMV hash
     function, defined once so both sketch variants stay mergeable."""
     import hashlib
-
-    import numpy as np
 
     hs = np.fromiter(
         (
@@ -240,6 +236,13 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["event_type"].isin(("purchase", "click"))]
 
+    # one column order for BOTH branches (the pinned schema's): empty and
+    # non-empty buckets must emit identically-ordered arrow blocks, or the
+    # streaming executor sees mismatched RefBundle schemas (merge_asof
+    # appends the right side as (click_ts, click_event_id))
+    cols = ["event_id", "user_id", "ts", "value",
+            "click_event_id", "click_ts", "gap_us"]
+
     def asof(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):  # empty bucket: dtype-stable empty result
             return pd.DataFrame(
@@ -252,7 +255,7 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
                     "click_ts": df["ts"],
                     "gap_us": pd.Series([], dtype="int64"),
                 }
-            )
+            )[cols]
         p = (
             df[df["event_type"] == "purchase"]
             .sort_values("ts", kind="mergesort")
@@ -286,8 +289,8 @@ def purchase_attribution(sf_dir: str, n_buckets: int | None = None) -> Dataset:
         # non-null int64, which the driver's dtype-sensitive hash needs
         j["click_event_id"] = j["click_event_id"].fillna(-1).astype("int64")
         gap = (j["ts"] - j["click_ts"]) // pd.Timedelta(microseconds=1)
-        j["gap_us"] = pd.Series(gap, index=j.index).fillna(-1).astype("int64")
-        return j
+        j["gap_us"] = gap.fillna(-1).astype("int64")
+        return j[cols]
 
     ev = read_events(
         sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
@@ -449,9 +452,6 @@ def funnel(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     per stage, so the final merge moves buckets × stages rows.  Conversion
     ratios are int/int divisions on the tiny final table (bit-exact vs the
     SQL oracle)."""
-    import numpy as np
-
-    import ray
 
     buckets = n_buckets or session_buckets(sf_dir)
 
@@ -545,6 +545,16 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     buckets = n_buckets or session_buckets(sf_dir)
 
     def cells(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):  # empty bucket: dtype-stable empty result —
+            # transform('min') dtype behavior on empty frames is a pandas
+            # version detail the merge concat must not depend on
+            return pd.DataFrame(
+                {
+                    "cohort_week": pd.Series([], dtype="int64"),
+                    "week_offset": pd.Series([], dtype="int64"),
+                    "users": pd.Series([], dtype="int64"),
+                }
+            )
         # pin the resolution before the int view: pandas may surface the
         # arrow timestamp as M8[us] or M8[ns] depending on version
         ts_us = df["ts"].astype("datetime64[us]").astype("int64")
@@ -580,7 +590,6 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
              "users": pa.int64()},
         ),
     )
-    import ray
 
     # schema-less empties can ride along in the sort-fallback plan; the
     # typed empty= block guarantees at least one schema-ful table remains
@@ -595,7 +604,6 @@ def retention_cohorts(sf_dir: str, n_buckets: int | None = None) -> Dataset:
     )
     users = df["sum_users"].astype("int64")
     denom = base.reindex(df["cohort_week"]).to_numpy(dtype="float64")
-    import numpy as np
 
     retention = np.floor((users.to_numpy() / denom) * 1e6) / 1e6
     return ray.data.from_arrow(
@@ -630,7 +638,6 @@ def approx_distinct_users(sf_dir: str) -> Dataset:
     int rows; the final unique-sort-kth runs on that driver-side by design.
     The md5 loop is per DISTINCT user per block (the minhash oracle-parity
     pattern)."""
-    import ray
 
     def local_kmin(df: pd.DataFrame) -> pd.DataFrame:
         hs = _kmv_hashes(pd.unique(df["user_id"]))  # sorted ascending
@@ -676,9 +683,11 @@ def approx_distinct_users_by_type(sf_dir: str) -> Dataset:
             hs = _kmv_hashes(pd.unique(g["user_id"]))[:KMV_K]
             outs.append(pd.DataFrame({"event_type": et, "hv": hs}))
         if not outs:
+            # dtype="string", NOT str: an empty object column converts to a
+            # NULL-typed arrow column, which poisons the sort/merge concat
             return pd.DataFrame(
-                {"event_type": pd.array([], dtype=str),
-                 "hv": pd.array([], dtype="int64")}
+                {"event_type": pd.Series([], dtype="string"),
+                 "hv": pd.Series([], dtype="int64")}
             )
         return pd.concat(outs, ignore_index=True)
 
@@ -1077,7 +1086,6 @@ def power_users(sf_dir: str) -> Dataset:
     # full corpus scan + grouped() merge (same two-consumer discipline as
     # user_churn's materialize)
     counts = _pin_schema(counts, out_schema).materialize()
-    import ray
 
     hspec = GroupSpec(keys=("n_events",))
     hist_ds = grouped(
@@ -1634,12 +1642,9 @@ def trending_event_types(sf_dir: str) -> Dataset:
         return df.groupby("day", sort=False).head(TOP)
 
     def fin(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(
-            ["day", "cnt", "event_type"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        top = df.groupby("day", sort=False).head(TOP)
+        # the global re-rank is exactly the per-block prune over the merged
+        # candidates — one definition, so the tie-break order cannot drift
+        top = prune(df)
         out = pd.DataFrame(
             {
                 "day": top["day"].to_numpy(),
