@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray.data
 from ray.data import Dataset
 
+from .agg import pin_schema as _pin_schema  # shared schema pin
+
 # language marker tokens (disjoint per language; tie-break: lang asc)
 LANG_MARKERS = {
     "de": ("der", "und"),
@@ -68,8 +70,6 @@ def read_documents(sf_dir: str, columns: list[str] | None = None) -> Dataset:
         override_num_blocks=dyn_buckets(16),
     )
 
-
-from .agg import pin_schema as _pin_schema  # shared schema pin
 
 
 def _trunc6(s):
@@ -263,16 +263,14 @@ def lang_confusion(sf_dir: str) -> Dataset:
     Scale shape: lang_id's per-batch vectorized scorer → one ``grouped()``
     over at most |langs+1|² cells — the exchange moves a handful of partial
     rows per block, never documents."""
-    import pyarrow as pa
 
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     def cell(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"lang": df["labelled_lang"], "pred_lang": df["pred_lang"]}
         )
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("lang", "pred_lang"))
     g = grouped(
@@ -339,10 +337,9 @@ def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK_K) -> Dataset:
     :func:`~.agg.topk` prunes to K per block before the tiny global sort —
     only blocks × K rows reach the final head regardless of corpus size.
     """
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .agg import GroupSpec, grouped, topk
+    from .agg import GroupSpec, final_empty, grouped, topk
 
     def partial(df: pd.DataFrame) -> pa.Table:
         toks = df["text"].str.split(" ")
@@ -389,7 +386,6 @@ def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK_K) -> Dataset:
     partials = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pandas"
     )
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("ngram",), count=False, sum_cols=("cnt", "df"))
     merged = grouped(
@@ -490,7 +486,6 @@ def token_counts_bpe(sf_dir: str) -> Dataset:
     """BPE-ish regex token counting (the second half of the token-counting
     contract; whitespace counting is ``token_counts``).  Pure vectorized
     ``pc.count_substring_regex`` — RE2 on both engines."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     def fn(t: pa.Table) -> pa.Table:
@@ -765,9 +760,8 @@ def source_mixture(sf_dir: str) -> Dataset:
     exchange never moves text.  The final table is #sources rows, so the
     global ratios are computed on a driver-side tiny table by design.
     All ratios are integer/integer divisions (bit-exact vs the oracle)."""
-    import pyarrow as pa
 
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     def tokens(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -777,7 +771,6 @@ def source_mixture(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("source",), count=True, sum_cols=("n_tok",))
     per_src = grouped(
@@ -823,7 +816,7 @@ def _unigram_counts(sf_dir: str) -> Dataset:
     row per distinct token (pandas ``value_counts``), then
     :func:`~.agg.grouped` merges vocabulary-sized partials — the exchange
     never moves the token stream."""
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["text"].str.split(" ").explode().value_counts()
@@ -834,7 +827,6 @@ def _unigram_counts(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",))
     return grouped(
@@ -865,7 +857,6 @@ def _bounded_vocab(vd: Dataset, floor: int) -> dict:
     """Driver dict of the (tok, sum_cnt) rows with ``sum_cnt > floor`` —
     pruned AT THE DATASET PLANE (per-block filter before ``ray.get``), so
     the driver never materializes the full vocabulary table."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     def above(t: pa.Table) -> pa.Table:
@@ -892,7 +883,6 @@ def _bounded_vocab(vd: Dataset, floor: int) -> dict:
 def _vocab_total(vd: Dataset) -> int:
     """Exact Σ sum_cnt over the vocabulary dataset via per-block partial
     sums — one tiny row per block reaches the driver, never the vocab."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     def part(t: pa.Table) -> pa.Table:
@@ -1007,7 +997,7 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
     (oracle.PACK_SEQUENCES)."""
     import pyarrow.parquet as pq
 
-    from .agg import GroupSpec, dyn_buckets, grouped
+    from .agg import GroupSpec, dyn_buckets, final_empty, grouped
     from .corpus import corpus_files
 
     # doc_id bounds from footer statistics (cheap, no data pass)
@@ -1024,13 +1014,12 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
     if dmin is None:  # statistics absent: fall back to a min/max scan
         t = read_documents(sf_dir, ["doc_id"])
         dmin, dmax = t.min("doc_id"), t.max("doc_id")
+    pack_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("seq_id", pa.int64()), ("seq_off", pa.int64())]
+    )
     if dmin is None:  # empty documents table: nothing to pack
-        return ray.data.from_arrow(
-            pa.schema(
-                [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-                 ("seq_id", pa.int64()), ("seq_off", pa.int64())]
-            ).empty_table()
-        )
+        return ray.data.from_arrow(pack_schema.empty_table())
     ranges = n_ranges or dyn_buckets(32)
     span = int(dmax) - int(dmin) + 1
 
@@ -1064,8 +1053,7 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
         """All ranges of one hash bucket, vectorized (grouped cumsum +
         broadcast range offsets) — avoids a Ray sort stage and per-range
         task calls for what is milliseconds of numpy."""
-        import pyarrow as pa
-
+    
         df = t.to_pandas()
         if not len(df):
             return pa.table(
@@ -1092,10 +1080,6 @@ def pack_sequences(sf_dir: str, n_ranges: int | None = None) -> Dataset:
     from .agg import hash_bucket_apply
     from .dedup import _use_exchange
 
-    pack_schema = pa.schema(
-        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
-         ("seq_id", pa.int64()), ("seq_off", pa.int64())]
-    )
     return _pin_schema(
         hash_bucket_apply(
             cnt,
@@ -1186,13 +1170,11 @@ def quality_budget_selection(sf_dir: str) -> Dataset:
 
     The oracle re-derives the selection with a SQL window function over the
     same integer math (oracle.QUALITY_BUDGET_SELECTION)."""
-    import pyarrow as pa
 
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     tbl = quality_int_table(sf_dir)  # session-memoized int rows
 
-    from .agg import final_empty
 
     hspec = GroupSpec(keys=("q_int",), count=False, sum_cols=("n_tokens",))
     # arrow refs, not Dataset.to_pandas(): the latter returns a COLUMNLESS
@@ -1307,14 +1289,12 @@ def source_budget_allocation(sf_dir: str) -> Dataset:
     at contributing levels exchange ONCE keyed on (source, q_int) for the
     within-level prefix scan.  Oracle: per-source SQL window over the same
     integer math (oracle.SOURCE_BUDGET_ALLOCATION)."""
-    import pyarrow as pa
 
-    from .agg import GroupSpec, grouped, hash_bucket_apply
+    from .agg import GroupSpec, final_empty, grouped, hash_bucket_apply
     from .dedup import _use_exchange
 
     tbl = quality_int_table(sf_dir)  # session-memoized int rows (has source)
 
-    from .agg import final_empty
 
     hspec = GroupSpec(
         keys=("source", "q_int"), count=False, sum_cols=("n_tokens",)
@@ -1464,7 +1444,7 @@ def _docfreq_counts(sf_dir: str) -> Dataset:
     row per distinct token — a document lives wholly inside one batch, so
     per-block distinct (doc, tok) pairs are globally distinct and the
     :func:`~.agg.grouped` sum of per-block doc-counts IS the exact df."""
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ex = df["text"].str.split(" ").explode()
@@ -1474,7 +1454,6 @@ def _docfreq_counts(sf_dir: str) -> Dataset:
             {"tok": vc.index.astype(str), "cnt": vc.to_numpy(dtype=np.int64)}
         )
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("tok",), count=False, sum_cols=("cnt",))
     return grouped(
@@ -1570,16 +1549,14 @@ def doc_length_percentiles(sf_dir: str) -> Dataset:
     sweep this costs no new text pass.  Percentile convention (integer math
     both engines): p = the smallest length whose cumulative count satisfies
     ``cum · 100 ≥ n · p``."""
-    import pyarrow as pa
 
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     pre = quality_int_table(sf_dir).map_batches(
         lambda t: t.select(["source", "n_tokens"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("source", "n_tokens"))
     g = grouped(
@@ -1643,7 +1620,7 @@ def _shingle_df(sf_dir: str) -> Dataset:
     a document never spans blocks — then the standard grouped() merge;
     the exchange moves one row per distinct shingle per block, never the
     token stream."""
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
     from .dedup import _batch_shingles
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1657,7 +1634,6 @@ def _shingle_df(sf_dir: str) -> Dataset:
             {"g": vc.index.astype(str), "df": vc.to_numpy(dtype=np.int64)}
         )
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("g",), count=False, sum_cols=("df",))
     return grouped(
@@ -1685,7 +1661,6 @@ def boilerplate_ngrams(sf_dir: str) -> Dataset:
     through one vectorized membership pass.  Oracle:
     oracle.BOILERPLATE_NGRAMS re-derives floor, DF and the left join in
     SQL."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
     from .dedup import _batch_shingles
@@ -1759,7 +1734,6 @@ def top_docs_per_source(sf_dir: str) -> Dataset:
     per-source merge ranks the survivors.  Oracle:
     ``oracle.TOP_DOCS_PER_SOURCE`` (row_number window over the same quality
     expression)."""
-    import pyarrow as pa
 
     k = TOPK_PER_SOURCE
 
@@ -1970,7 +1944,7 @@ def eval_overlap_by_source(sf_dir: str) -> Dataset:
     grouped() merge finishes — one streamed pass, no join (source rides
     the same scan).  The rate is one float division of exact ints,
     6dp-truncated (oracle.EVAL_OVERLAP_BY_SOURCE)."""
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
     grams_ref = ray.put(_eval_gram_set(sf_dir))
 
@@ -1995,7 +1969,6 @@ def eval_overlap_by_source(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("source",), count=False, sum_cols=("n", "hits", "c"))
     g = grouped(
@@ -2047,9 +2020,8 @@ def quality_deciles_by_source(sf_dir: str) -> Dataset:
     range bounded), one task reads the quantiles off the cumulative
     counts.  Reported as quality floats (q_int / 1e6 — the same division
     on both engines).  Oracle: ``oracle.QUALITY_DECILES_BY_SOURCE``."""
-    from .agg import GroupSpec, grouped
+    from .agg import GroupSpec, final_empty, grouped
 
-    from .agg import final_empty
 
     spec = GroupSpec(keys=("source", "q_int"))
     g = grouped(
@@ -2061,8 +2033,7 @@ def quality_deciles_by_source(sf_dir: str) -> Dataset:
     )
 
     def fin(df: pd.DataFrame) -> "pa.Table":
-        import pyarrow as pa
-
+    
         if not len(df):  # dtype-stable empty result
             return pa.schema(
                 [("source", pa.string()), ("n_docs", pa.int64())]
@@ -2120,10 +2091,9 @@ def bigram_pmi(sf_dir: str) -> Dataset:
     ``PMI_HEAD`` head — a CONSTANT — and the <= 2*PMI_HEAD unigram rows it
     references ever reach the driver, the same bounded-head contract as
     ``tfidf_topk``'s df-floor.  Oracle: ``oracle.BIGRAM_PMI``."""
-    import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .agg import GroupSpec, grouped, topk
+    from .agg import GroupSpec, final_empty, grouped, topk
 
     cnt_schema = pa.schema(
         [("kind", pa.int64()), ("key", pa.string()), ("cnt", pa.int64())]
