@@ -59,6 +59,7 @@ from .agg import (
     dyn_buckets,
     final_empty,
     grouped,
+    hash_bucket_apply,
 )
 from .text import read_documents
 
@@ -207,13 +208,16 @@ def exact_dedup(sf_dir: str) -> Dataset:
     shuffles, only (fp, doc_id, count)."""
 
     def fp_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # one md5 per DISTINCT text (exact dedup's input is duplicate-heavy
+        # by definition — same factorize-then-hash-uniques idiom as minhash
+        # / substring_dedup / prefix_dup_groups)
+        inv, uniq = pd.factorize(df["text"])
+        hexes = np.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in uniq], dtype=object
+        )
         return pd.DataFrame(
-            {
-                "fp": df["text"].map(
-                    lambda x: hashlib.md5(x.encode()).hexdigest()
-                ),
-                "doc_id": df["doc_id"],
-            }
+            {"fp": hexes[inv] if len(df) else pd.Series([], dtype="string"),
+             "doc_id": df["doc_id"]}
         )
 
     ds = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -466,7 +470,6 @@ def _use_exchange(sf_dir: str) -> bool:
 
 
 def _candidate_pairs_uncached(sf_dir: str) -> Dataset:
-    from .agg import hash_bucket_apply
 
     sigs = minhash_signatures(sf_dir)
     bands = sigs.map_batches(_band_rows, batch_format="pandas")
@@ -744,8 +747,6 @@ def _verify_triples(sf_dir: str, cands: Dataset) -> Dataset:
             },
             schema=_JOIN_SCHEMA,
         )
-
-    from .agg import hash_bucket_apply
 
     buckets = dyn_buckets(MERGE_BUCKETS)
     exchange = _use_exchange(sf_dir)
@@ -1035,7 +1036,6 @@ def simhash_near_dups(sf_dir: str) -> Dataset:
     (``oracle.SIMHASH_NEAR_DUPS``) re-derives the same pairs with
     ``bit_count(xor(...))`` over the exact SIMHASH64 CTE — banding is
     invisible in the result by the pigeonhole argument above."""
-    from .agg import hash_bucket_apply
 
     bands = _simhash_ds(sf_dir).map_batches(
         _simhash_band_rows, batch_format="pandas"
@@ -1082,12 +1082,52 @@ CC_MAX_ROUNDS = 64
 CC_LOCAL_EDGES = 5_000_000
 
 
+def _cc_union_find(ia: np.ndarray, ib: np.ndarray, n: int) -> np.ndarray:
+    """Exact CC over dense-indexed edges via union-find with path halving
+    and union-by-min-root, returning each node's component-min dense index.
+    Per-edge Python cost, so it is the FALLBACK for topologies where the
+    vectorized hash-min rounds stall (long shuffled-id chains need O(
+    diameter) relax rounds); bounded by CC_LOCAL_EDGES edges — a few
+    seconds at the 5M cap, exact for any graph."""
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by VALUE: the smaller dense index (== smaller node id,
+            # nodes are sorted) becomes the root, so roots are component
+            # minima — the hash-min labels the fast path produces
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    # final full compression, vectorized chase to fixpoint
+    lbl = parent
+    while True:
+        nxt = lbl[lbl]
+        if np.array_equal(nxt, lbl):
+            return lbl
+        lbl = nxt
+
+
 @ray.remote
 def _cc_local_task(*edge_blocks: pa.Table) -> pa.Table:
-    """Exact hash-min CC of the whole (small) edge set in one task: dense
-    node indexing via np.unique, edge-relax ``np.minimum.at`` passes plus a
-    pointer-jump per pass (labels are node ids, so label chasing is a
-    searchsorted into the sorted node vector), until fixpoint."""
+    """Exact CC of the whole (small) edge set in one task: dense node
+    indexing via np.unique, then vectorized hash-min rounds (edge-relax
+    ``np.minimum.at`` both directions + pointer-jump closure) while they
+    converge fast, falling back to exact union-find when they stall.
+    Hash-min needs O(diameter) relax rounds: a shuffled-id near-dup CHAIN
+    of ~400+ documents exceeds CC_MAX_ROUNDS, and the previous
+    implementation SILENTLY returned split components for it (the
+    distributed path raises for the same condition).  Now the stall routes
+    to :func:`_cc_union_find`, which is exact for any topology — this task
+    never returns wrong labels and never spuriously fails."""
     # empty blocks may ride through map_batches with the upstream schema —
     # keep only real edge blocks (the caller guarantees >=1 edge overall)
     parts = [
@@ -1105,10 +1145,19 @@ def _cc_local_task(*edge_blocks: pa.Table) -> pa.Table:
     for _ in range(CC_MAX_ROUNDS):
         prev = lbl.copy()
         np.minimum.at(lbl, ia, lbl[ib])
-        # pointer jump: labels are node ids → chase one level
-        lbl = np.minimum(lbl, lbl[np.searchsorted(nodes, lbl)])
+        np.minimum.at(lbl, ib, lbl[ia])
+        # pointer-jump to closure (composes the label map with itself)
+        for _ in range(CC_MAX_ROUNDS):
+            nxt = np.minimum(lbl, lbl[np.searchsorted(nodes, lbl)])
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
         if np.array_equal(lbl, prev):
             break
+    else:
+        # high-diameter topology: exact union-find fallback (dense indices
+        # back to node-id labels at the end)
+        lbl = nodes[_cc_union_find(ia, ib, len(nodes))]
     return pa.table({"node": pa.array(nodes), "lbl": pa.array(lbl)})
 
 _CC_SCHEMA = pa.schema(
@@ -1219,7 +1268,13 @@ def cc_labels(
             is_lab = pc.equal(group.column("dst"), -1)
             lab = group.filter(is_lab)
             ed = group.filter(pc.invert(is_lab))
-            idx = pc.index_in(ed.column("node"), value_set=lab.column("node"))
+            # strict: every edge endpoint has a label row in its bucket
+            # (both bucketed on node) — a null here means the
+            # co-partitioning invariant broke, and the silent alternative
+            # is wrong singleton clusters, not an error
+            idx = _index_in_strict(
+                ed.column("node"), lab.column("node"), "cc_labels.propagate"
+            )
             return pa.concat_tables(
                 [
                     pa.table(
@@ -1234,15 +1289,13 @@ def cc_labels(
                 ]
             )
 
-        from .agg import hash_bucket_apply as _hba
-
         converged = False
         for _ in range(CC_MAX_ROUNDS):
             # the round inputs (labels + edges) are pair-graph-sized and
             # already materialized, so the task-based exchange is safe at
             # ANY corpus size — it is bounded by the candidate pairs, never
             # the documents (two Ray sort stages per round otherwise)
-            msgs = _hba(
+            msgs = hash_bucket_apply(
                 labels.map_batches(tag_labels, batch_format="pyarrow").union(
                     edges
                 ),
@@ -1323,8 +1376,6 @@ def decision_from_labels(
             }
         )
 
-    from .agg import hash_bucket_apply
-
     assigned = hash_bucket_apply(
         docs, (id_col,), coalesce_self, buckets, use_exchange=use_exchange,
         empty=pa.schema(
@@ -1400,8 +1451,6 @@ def dedup_keep_best(sf_dir: str) -> Dataset:
     the per-cluster MIN of the arg-max key — so the wide stage moves only
     (cluster_id, int key) partials, never text.  The SQL oracle re-derives
     the same key arithmetic over the recursive-CTE cluster table."""
-    from .agg import GroupSpec, grouped
-    from .agg import hash_bucket_apply
     from .text import quality_int_table
 
     buckets = dyn_buckets(MERGE_BUCKETS)
@@ -1510,7 +1559,6 @@ def dedup_cluster_sizes(sf_dir: str) -> Dataset:
     aggregate.  Ref parity: the reference's report rollup tables
     (AnalyzeCommand.java:343-395 summary printing) follow the same
     histogram-of-a-decision shape."""
-    from .agg import GroupSpec, grouped
 
     def canon(t: pa.Table) -> pa.Table:
         return t.filter(t.column("is_canonical")).select(["cluster_size"])
@@ -1553,7 +1601,6 @@ def dup_rate_by_source(sf_dir: str) -> Dataset:
     doc_id-bucketed exchange — no new text pass, text never moves; the
     per-source finish is a sources-bounded grouped().  Oracle:
     ``oracle.DUP_RATE_BY_SOURCE`` (same recursive-closure decision)."""
-    from .agg import hash_bucket_apply
     from .text import quality_int_table
 
     buckets = dyn_buckets(MERGE_BUCKETS)
@@ -1650,7 +1697,6 @@ def near_dup_source_matrix(sf_dir: str) -> Dataset:
     hash(doc_b) — the same two-hop shape as the Jaccard verify); the
     finish is a sources²-bounded grouped().  Oracle:
     ``oracle.NEAR_DUP_SOURCE_MATRIX``."""
-    from .agg import hash_bucket_apply
     from .text import quality_int_table
 
     buckets = dyn_buckets(MERGE_BUCKETS)
@@ -2092,7 +2138,6 @@ def minhash_est_error(sf_dir: str) -> Dataset:
     session-memoized chain stages — a sweep pays neither the signature
     pass nor the LSH->verify chain again.  Oracle:
     ``oracle.MINHASH_EST_ERROR``."""
-    from .agg import hash_bucket_apply
 
     k = MINHASH_K
     sig_cols = [f"mh_{i:02d}" for i in range(k)]

@@ -527,3 +527,59 @@ def test_simhash_pairs_banding_matches_bruteforce(monkeypatch):
             want.add((a, a + 1 + int(off), int(hs[off])))
     assert want  # the fixture must actually produce qualifying pairs
     assert got == want
+
+
+def test_cc_local_task_long_shuffled_chain_exact(ray_session):
+    """A near-dup CHAIN whose doc_ids are shuffled relative to chain order
+    needs O(diameter) hash-min relax rounds — far past CC_MAX_ROUNDS for
+    ~400+ documents.  The local solve previously fell out of its round
+    loop silently and returned SPLIT components for exactly this topology
+    (review finding, reproduced); it must now produce one component with
+    the min-id label on every node (the union-find fallback), for chains
+    well past the round cap and for a random graph checked against a
+    reference union-find."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+    from oplog_analyzer_ray.pipelines.dedup import _cc_local_task
+
+    rng = np.random.default_rng(7)
+    for n in (400, 5000):
+        ids = rng.permutation(10 * n)[:n].astype(np.int64)
+        a, b = ids[:-1], ids[1:]
+        t = pa.table(
+            {"node": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+        )
+        lbl = (
+            _ray.get(_cc_local_task.remote(t))
+            .column("lbl")
+            .to_numpy(zero_copy_only=False)
+        )
+        assert len(np.unique(lbl)) == 1, n
+        assert (lbl == ids.min()).all(), n
+
+    # random graph: labels must equal a reference union-find's min labels
+    n = 5000
+    a = rng.integers(0, n, 12000).astype(np.int64)
+    b = rng.integers(0, n, 12000).astype(np.int64)
+    t = pa.table(
+        {"node": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
+    )
+    res = _ray.get(_cc_local_task.remote(t))
+    nodes = res.column("node").to_numpy(zero_copy_only=False)
+    lbl = res.column("lbl").to_numpy(zero_copy_only=False)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    ref = np.array([find(int(x)) for x in nodes])
+    assert np.array_equal(lbl, ref)
