@@ -17,8 +17,6 @@ parallel, no shuffle.  The LSH variant cuts the scanned fraction to
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -263,6 +261,25 @@ def _bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return (bits * (1 << np.arange(LSH_PLANES))).sum(axis=1).astype(np.int64)
 
 
+def _hamming_masks(radius: int) -> list[int]:
+    """XOR masks for every bucket within ``radius`` bit flips (radius 0
+    included) over the LSH_PLANES-bit bucket space — shared by the
+    multi-probe search and the pair-emit fan-out so neither silently caps
+    the documented radius (review finding: the previous inline
+    enumerations only handled radius ≤ 2, so larger arguments quietly
+    delivered radius-2 recall)."""
+    from itertools import combinations
+
+    masks = []
+    for r in range(min(radius, LSH_PLANES) + 1):
+        for combo in combinations(range(LSH_PLANES), r):
+            m = 0
+            for p in combo:
+                m |= 1 << p
+            masks.append(m)
+    return masks
+
+
 def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> Dataset:
     """Approximate top-10 via random-hyperplane buckets: scan only vectors
     whose bucket is within ``probe_hamming`` bit-flips of the query's bucket
@@ -275,17 +292,8 @@ def knn_lsh(sf_dir: str, probe_hamming: int = 2) -> Dataset:
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     planes = _lsh_planes(qmat.shape[1])
     qbuckets = _bucket_ids(qmat, planes)
-    probe_sets = []
-    for qb in qbuckets:
-        s = {int(qb)}
-        if probe_hamming >= 1:
-            for p in range(LSH_PLANES):
-                s.add(int(qb) ^ (1 << p))
-        if probe_hamming >= 2:
-            for p in range(LSH_PLANES):
-                for p2 in range(p + 1, LSH_PLANES):
-                    s.add(int(qb) ^ (1 << p) ^ (1 << p2))
-        probe_sets.append(s)
+    masks = _hamming_masks(probe_hamming)
+    probe_sets = [{int(qb) ^ m for m in masks} for qb in qbuckets]
     qref = ray.put((qids, qnorm, planes, probe_sets))
 
     def local_topk(df: pd.DataFrame) -> pa.Table:
@@ -327,11 +335,6 @@ def _emb_rows(sf_dir: str) -> int:
     )
 
 
-_PAIR_SCHEMA = pa.schema(
-    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos", pa.float64())]
-)
-
-
 def _pair_frame(va, vb, cs) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -342,13 +345,20 @@ def _pair_frame(va, vb, cs) -> pd.DataFrame:
     )
 
 
-def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn, empty_frame=None):
+def _emb_bucket_apply(
+    sf_dir: str, ds, key: str, group_fn, empty_frame=None, replication: int = 1
+):
     """Shared exchange of the embedding pair kernels: co-locate replicated
     vectors by ``key`` and run the per-GROUP pandas kernel on each complete
     group — via the task-based hash exchange below the embeddings-size cap
     (each replaced Ray sort stage is ~2-3 s of machinery at bench scale),
     the streamed sort path above it.  ``empty_frame``: zero-row output
-    template for empty buckets (defaults to the pair schema)."""
+    template for empty buckets (defaults to the pair schema).
+    ``replication``: the emit stage's fan-out factor — what the exchange
+    actually materializes is the REPLICATED dataset (B-fold for the
+    triangle join, |masks|-fold for the LSH probes), so the byte gate must
+    price that, not the raw corpus (review finding: a corpus just under
+    the gate previously materialized up to ~20-30x the gated bytes)."""
     from .agg import EXCHANGE_GATE_MAX_BYTES, dyn_buckets, hash_bucket_apply
     from .corpus import corpus_bytes
 
@@ -375,7 +385,7 @@ def _emb_bucket_apply(sf_dir: str, ds, key: str, group_fn, empty_frame=None):
         (key,),
         per_bucket,
         dyn_buckets(16),
-        use_exchange=corpus_bytes(sf_dir, "embeddings")
+        use_exchange=corpus_bytes(sf_dir, "embeddings") * max(1, replication)
         <= EXCHANGE_GATE_MAX_BYTES,
     )
 
@@ -491,6 +501,7 @@ def _emb_pairs_uncached(sf_dir: str, n_chunks: int | None) -> Dataset:
         read_embeddings(sf_dir).map_batches(emit, batch_format="pyarrow"),
         "_pair",
         compute,
+        replication=B,
     )
 
 
@@ -664,6 +675,7 @@ def _knn_graph_uncached(sf_dir: str, k: int, n_chunks: int | None) -> Dataset:
         "_pair",
         compute,
         empty_frame=_cand_frame([], [], []),
+        replication=B,
     )
 
     def merge_topk(group: pa.Table) -> pa.Table:
@@ -792,15 +804,7 @@ def embedding_near_dups_lsh(
     strongest.  EXACT SQL oracle despite being "approximate": the seeded
     hyperplanes are embedded as SQL literals and the probe/bucket/kernel
     search is re-derived in DuckDB (oracle.embedding_near_dups_lsh_sql)."""
-    masks = [0]
-    if emit_radius >= 1:
-        masks += [1 << p for p in range(LSH_PLANES)]
-    if emit_radius >= 2:
-        masks += [
-            (1 << p) | (1 << q)
-            for p in range(LSH_PLANES)
-            for q in range(p + 1, LSH_PLANES)
-        ]
+    masks = _hamming_masks(emit_radius)
     masks_arr = np.asarray(masks, dtype=np.int64)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
@@ -808,11 +812,16 @@ def embedding_near_dups_lsh(
         b = _bucket_ids(m, _lsh_planes(m.shape[1]))
         probe = np.bitwise_xor(b[:, None], masks_arr[None, :]).ravel()
         rep = np.repeat(np.arange(len(df)), len(masks))
+        # key column name must NOT be "_bucket": hash_bucket_apply's
+        # sort-based fallback (the >gate scale path) appends its own
+        # "_bucket" column, and a duplicated field name breaks its
+        # groupby/drop — review finding, exercised by the use_exchange=False
+        # leg of the chunk-invariance test
         return pd.DataFrame(
             {
                 "vec_id": df["vec_id"].to_numpy()[rep],
                 "embedding": df["embedding"].to_numpy()[rep],
-                "_bucket": probe,
+                "_probe": probe,
             }
         )
 
@@ -822,18 +831,38 @@ def embedding_near_dups_lsh(
         vid = vid[order]
         m = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        cos = mn @ mn.T
-        ai, bj = np.nonzero(np.triu(cos >= threshold, k=1))
+        # EMB_TILE-row strips (the _strip_hits idiom): the dense temporary
+        # stays TILE × |bucket| float64 instead of |bucket|² — this is the
+        # operator's advertised scale path, so the bucket kernel must not
+        # be the one place that materializes a quadratic matrix
+        ai = [np.empty(0, np.int64)]
+        bj = [np.empty(0, np.int64)]
+        cs = [np.empty(0, np.float64)]
+        n = len(vid)
+        for s in range(0, n, EMB_TILE):
+            strip = mn[s : s + EMB_TILE] @ mn.T
+            r = np.arange(s, s + strip.shape[0])[:, None]
+            mask = (strip >= threshold) & (np.arange(n)[None, :] > r)
+            ia, jb = np.nonzero(mask)
+            ai.append(ia + s)
+            bj.append(jb)
+            cs.append(strip[ia, jb])
+        ai, bj, cs = (
+            np.concatenate(ai).astype(np.int64),
+            np.concatenate(bj).astype(np.int64),
+            np.concatenate(cs),
+        )
         keep = vid[ai] != vid[bj]  # a vector probes several buckets; no self
-        return _pair_frame(vid[ai][keep], vid[bj][keep], cos[ai, bj][keep])
+        return _pair_frame(vid[ai][keep], vid[bj][keep], cs[keep])
 
     from .agg import GroupSpec, grouped
 
     pairs = _emb_bucket_apply(
         sf_dir,
         read_embeddings(sf_dir).map_batches(emit, batch_format="pandas"),
-        "_bucket",
+        "_probe",
         compute,
+        replication=len(masks),
     )
     from .agg import final_empty
 
@@ -961,7 +990,11 @@ def knn_ivf(sf_dir: str, n_probe: int = IVF_PROBE) -> Dataset:
         return _empty_ds(_KNN_SCHEMA)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     cents = _ivf_centroids(sf_dir)
-    probes = np.argsort(-(qnorm @ cents.T), axis=1)[:, :n_probe]
+    # stable sort: exact dot-product ties (bitwise-duplicate centroids are
+    # possible — the corpus keeps duplicate vectors by contract) must break
+    # to the LOWEST centroid id, matching the oracle's (dot DESC, i ASC)
+    # row_number ordering; default argsort is an unstable quicksort
+    probes = np.argsort(-(qnorm @ cents.T), axis=1, kind="stable")[:, :n_probe]
     qref = ray.put((qids, qnorm, cents, probes))
 
     def local_topk(df: pd.DataFrame) -> pa.Table:
@@ -1029,11 +1062,17 @@ def ann_recall_report(sf_dir: str) -> Dataset:
                 .astype("int64")
             )
 
+        # denominator = each query's ACTUAL brute-force result size, not a
+        # fixed TOP_K: on a corpus with < TOP_K+1 vectors a perfect ANN
+        # match is still recall 1.0 (review finding; oracle mirrors)
+        denom = (
+            b.groupby("query_id").size().reindex(qs).astype("float64")
+        )
         return pd.DataFrame(
             {
                 "query_id": qs,
-                "recall_lsh": hits(1).to_numpy() / float(TOP_K),
-                "recall_ivf": hits(2).to_numpy() / float(TOP_K),
+                "recall_lsh": hits(1).to_numpy() / denom.to_numpy(),
+                "recall_ivf": hits(2).to_numpy() / denom.to_numpy(),
             }
         )
 

@@ -583,3 +583,68 @@ def test_cc_local_task_long_shuffled_chain_exact(ray_session):
             parent[max(rx, ry)] = min(rx, ry)
     ref = np.array([find(int(x)) for x in nodes])
     assert np.array_equal(lbl, ref)
+
+
+def test_lsh_pair_emit_survives_sort_fallback(monkeypatch):
+    """embedding_near_dups_lsh's probe-emit key column used to be named
+    "_bucket", colliding with the internal column hash_bucket_apply's
+    sort-based fallback appends — the >gate scale path crashed while the
+    exchange path passed (review finding).  Force the fallback and require
+    identical pairs from both plans."""
+    import oplog_analyzer_ray.pipelines.agg as amod
+
+    via_exchange = (
+        embedding_near_dups_lsh(SF_DIR).to_pandas()
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    monkeypatch.setattr(amod, "EXCHANGE_GATE_MAX_BYTES", 0)
+    via_fallback = (
+        embedding_near_dups_lsh(SF_DIR).to_pandas()
+        .sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_exchange, via_fallback)
+    assert len(via_exchange) > 0
+
+
+def test_ann_recall_denominator_on_tiny_corpus(tmp_path):
+    """recall@k must divide by each query's ACTUAL brute-force result size:
+    on a corpus with fewer than TOP_K+1 vectors a perfect ANN match is
+    recall 1.0, not hits/TOP_K (review finding)."""
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.pipelines.similarity import ann_recall_report
+
+    rng = np.random.default_rng(3)
+    n = 6  # brute force returns only n-1 = 5 < TOP_K neighbors per query
+    vecs = rng.standard_normal((n, 8)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    from oplog_analyzer_ray.pipelines.similarity import knn_bruteforce, knn_lsh
+
+    rep = (
+        ann_recall_report(str(tmp_path)).to_pandas()
+        .sort_values("query_id").reset_index(drop=True)
+    )
+    assert len(rep) == 5  # N_QUERIES
+    brute = knn_bruteforce(str(tmp_path)).to_pandas()
+    lsh = knn_lsh(str(tmp_path)).to_pandas()
+    # reference recall: |lsh ∩ brute| / |brute| per query — |brute| is 5
+    # here (n-1 < TOP_K), so the old fixed-TOP_K denominator capped every
+    # recall at 0.5 even for a perfect match
+    for _, row in rep.iterrows():
+        q = int(row["query_id"])
+        bset = set(brute.loc[brute.query_id == q, "neighbor_id"])
+        lset = set(lsh.loc[lsh.query_id == q, "neighbor_id"])
+        assert len(bset) == 5
+        assert row["recall_lsh"] == len(bset & lset) / len(bset)
+    # and the corrected denominator admits 1.0 (unreachable under /TOP_K):
+    # brute-force compared against itself is perfect recall by construction
+    assert (rep["recall_lsh"] <= 1.0).all() and (rep["recall_ivf"] <= 1.0).all()
