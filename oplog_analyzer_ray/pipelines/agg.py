@@ -163,12 +163,10 @@ def dyn_buckets(floor: int = MERGE_BUCKETS) -> int:
     ONCE at pipeline-build time on the driver (cluster_resources() is an
     RPC) and closed over as a plain int."""
     try:
-        import ray
-
         if ray.is_initialized():
             return max(floor, 2 * int(ray.cluster_resources().get("CPU", 0)))
     except Exception:
-        pass
+        pass  # resource RPC failure: fall back to the single-node floor
     return floor
 
 
@@ -377,10 +375,9 @@ def _merge_task(
             "input) and no `empty` fallback table was supplied — pass "
             "grouped(..., empty=<final-schema empty table>)"
         )
-    out = _combine_partials(
-        pa.concat_tables([_decode_exchange(s) for s in usable]), spec
+    return _finalize(
+        pa.concat_tables([_decode_exchange(s) for s in usable]), spec, names
     )
-    return out.rename_columns([names.get(c, c) for c in out.column_names])
 
 
 @ray.remote
@@ -407,6 +404,14 @@ def _concat_merge_task(
             "grouped(..., empty=<final-schema empty table>)"
         )
     t = pa.concat_tables([_pick_spec(b, spec_idx, cols) for b in usable])
+    return _finalize(t, spec, names)
+
+
+def _finalize(t: pa.Table, spec: GroupSpec, names: dict) -> pa.Table:
+    """Merge compacted partials and apply the final output column names —
+    the one definition behind every merge tier (task, concat, sort-fallback
+    finish and bucket merge), so rename/merge semantics cannot drift
+    between plans."""
     out = _combine_partials(t, spec)
     return out.rename_columns([names.get(c, c) for c in out.column_names])
 
@@ -485,9 +490,7 @@ def _exchange_merge(
     def finish(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 and empty is not None:
             return empty
-        t = _pick_spec(t, spec_idx, cols)
-        out = _combine_partials(t, spec)
-        return out.rename_columns([names.get(c, c) for c in out.column_names])
+        return _finalize(_pick_spec(t, spec_idx, cols), spec, names)
 
     if not refs:
         if empty is None:
@@ -501,9 +504,12 @@ def _exchange_merge(
             )
         # a zero-block dataset runs NO map UDF, so `finish` alone cannot
         # supply the schema — the appended typed 0-row block does
-        return partial.repartition(1).map_batches(
-            finish, batch_format="pyarrow", batch_size=None
-        ).union(_rd.from_arrow(empty))
+        return pin_schema(
+            partial.repartition(1).map_batches(
+                finish, batch_format="pyarrow", batch_size=None
+            ),
+            empty.schema,
+        )
 
     # partial-schema empty derived from the FINAL-schema `empty` by inverse
     # rename (agg types are preserved through the merge), so the sort-shuffle
@@ -524,8 +530,7 @@ def _exchange_merge(
         return t.append_column("_bucket", _bucket_of(t, spec.keys, buckets))
 
     def merge_bucket(t: pa.Table) -> pa.Table:
-        out = _combine_partials(t.drop_columns(["_bucket"]), spec)
-        return out.rename_columns([names.get(c, c) for c in out.column_names])
+        return _finalize(t.drop_columns(["_bucket"]), spec, names)
 
     out = (
         partial.map_batches(add_bucket, batch_format="pyarrow")
@@ -536,7 +541,7 @@ def _exchange_merge(
         # Ray skips the map UDFs entirely for empty blocks, so a fully-empty
         # input leaves this plan schema-less; one appended typed 0-row block
         # pins the final schema in every case (0 extra rows otherwise)
-        out = out.union(_rd.from_arrow(empty))
+        out = pin_schema(out, empty.schema)
     return out
 
 
@@ -656,15 +661,17 @@ def hash_bucket_apply(
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(
-            lambda g: fn(g.drop_columns(["_bucket"])), batch_format="pyarrow"
+            # _decode_exchange: dictionary-typed INPUT columns (e.g. parquet
+            # dictionary pages) reach fn as plain strings on the exchange
+            # plan; decode here too so both plans hand fn the same types
+            lambda g: fn(_decode_exchange(g.drop_columns(["_bucket"]))),
+            batch_format="pyarrow",
         )
     )
     if empty is not None:
         # same schema pin as grouped()'s fallback: a fully-empty input runs
         # no UDF, so one appended typed 0-row block keeps the result typed
-        import ray.data as _rd
-
-        out = out.union(_rd.from_arrow(empty.schema.empty_table()))
+        out = pin_schema(out, empty.schema)
     return out
 
 
@@ -787,13 +794,21 @@ def union_plan(specs: list[GroupSpec]) -> UnionPlan:
 
 
 def merge_union_partials(
-    mat: Dataset | list, plan: UnionPlan, buckets: int | None = None
+    mat: Dataset | list,
+    plan: UnionPlan,
+    buckets: int | None = None,
+    empties: "list[pa.Table] | None" = None,
 ) -> list[Dataset]:
     """Final per-spec exact merges over MATERIALIZED union partials.
 
     ``mat`` may be a list of materialized partial Datasets (the fused
     route+aggregate produces one per commit group, plus one for resumed
-    units) — their block refs are pooled; no data moves to combine them."""
+    units) — their block refs are pooled; no data moves to combine them.
+    ``empties``: optional FINAL-schema zero-row table per spec, so a fully
+    empty input (a quiet oplog window) yields typed empty reports instead
+    of the loud no-``empty``-fallback ValueError this path otherwise
+    dead-ends in (review finding: the advice in that error — pass
+    ``grouped(..., empty=...)`` — was impossible to follow from here)."""
     buckets = buckets or dyn_buckets()
     if isinstance(mat, (list, tuple)):
         mats = [m for m in mat if m is not None]
@@ -819,13 +834,17 @@ def merge_union_partials(
             n_rows=int(counts[i]),
             spec_idx=i,
             cols=list(spec.keys) + _partial_col_names(spec),
+            empty=empties[i] if empties is not None else None,
         )
         for i, spec in enumerate(plan.specs)
     ]
 
 
 def grouped_multi(
-    ds: Dataset, specs: list[GroupSpec], buckets: int | None = None
+    ds: Dataset,
+    specs: list[GroupSpec],
+    buckets: int | None = None,
+    empties: "list[pa.Table] | None" = None,
 ) -> list[Dataset]:
     """N grouped aggregations from ONE scan of ``ds``.
 
@@ -859,7 +878,7 @@ def grouped_multi(
         )
         .materialize()
     )
-    return merge_union_partials(mat, plan, buckets)
+    return merge_union_partials(mat, plan, buckets, empties=empties)
 
 
 def copartitioned_hot_keys(data_dir: str, k: int = 20) -> Dataset:

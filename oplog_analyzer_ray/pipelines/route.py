@@ -322,6 +322,7 @@ def route_aggregate(
     specs: list,
     units_per_commit: int | None = None,
     shard_indexes: list[int] | None = None,
+    empties: list | None = None,
 ):
     """ONE-SCAN route + aggregate: the routed per-(part, sink) parquet write
     and the grouped-aggregation partials come out of the SAME streaming pass
@@ -465,4 +466,4 @@ def route_aggregate(
             entries.append(e)
         manifest.commit(entries)
 
-    return manifest, merge_union_partials(partial_mats, plan)
+    return manifest, merge_union_partials(partial_mats, plan, empties=empties)

@@ -421,3 +421,32 @@ def test_grouped_buckets_one_past_small_merge(ray_session):
     t = pa.table({"k": pa.array(np.arange(n, dtype=np.int64))})
     out = grouped(ray.data.from_arrow(t), GroupSpec(keys=("k",)), buckets=1)
     assert out.count() == n
+
+
+def test_grouped_multi_empty_input_with_empties():
+    """merge_union_partials previously dead-ended a fully-empty input in a
+    ValueError whose advice (pass grouped(..., empty=...)) was impossible
+    to follow from grouped_multi/route_aggregate (review finding); the new
+    ``empties=`` parameter yields one typed zero-row report per spec."""
+    from oplog_analyzer_ray.pipelines.agg import final_empty, grouped_multi
+
+    specs = [
+        GroupSpec(keys=("k",), sum_cols=("v",)),
+        GroupSpec(keys=("s",), count=True),
+    ]
+    empties = [
+        final_empty(specs[0], {"k": pa.string(), "v": pa.int64()}),
+        final_empty(specs[1], {"s": pa.string()}),
+    ]
+    src = pa.schema(
+        [("k", pa.string()), ("s", pa.string()), ("v", pa.int64())]
+    ).empty_table()
+    outs = grouped_multi(ray.data.from_arrow(src), specs, empties=empties)
+    for out, want in zip(outs, empties):
+        assert out.schema().names == want.schema.names
+        assert out.count() == 0
+
+    # and without empties the loud contract error still fires
+    with pytest.raises(ValueError, match="empty"):
+        for d in grouped_multi(ray.data.from_arrow(src), specs):
+            d.count()
