@@ -514,8 +514,6 @@ def _exchange_merge(
     # partial-schema empty derived from the FINAL-schema `empty` by inverse
     # rename (agg types are preserved through the merge), so the sort-shuffle
     # fallback survives schema-less blocks exactly like the exchange paths.
-    # Only built when `empty` is passed — grouped_multi (spec_idx set) never
-    # passes one, and its union blocks need the _spec projection first.
     partial_empty = None
     if empty is not None:
         inv = {v: k for k, v in names.items()}
@@ -525,8 +523,12 @@ def _exchange_merge(
 
     def add_bucket(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 and partial_empty is not None:
+            # already per-spec (final→partial) shaped: skip _pick_spec —
+            # with spec_idx set (the grouped_multi/empties path) it would
+            # look for the union-schema _spec column this table lacks
             t = partial_empty
-        t = _pick_spec(t, spec_idx, cols)
+        else:
+            t = _pick_spec(t, spec_idx, cols)
         return t.append_column("_bucket", _bucket_of(t, spec.keys, buckets))
 
     def merge_bucket(t: pa.Table) -> pa.Table:

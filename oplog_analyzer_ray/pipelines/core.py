@@ -64,8 +64,10 @@ def _session_token() -> str:
 # materializing the parsed events pins ~corpus-size in the (spillable)
 # object store; right for a many-query sweep over a small corpus, wrong for
 # a 100 TB one.  Gate on the on-disk corpus size (env-overridable).
+# int(float(...)) so scientific notation ("8e9") works in the env override,
+# matching the sibling gates (agg.EXCHANGE_GATE / dedup.CHAIN_CACHE)
 EVENT_CACHE_MAX_BYTES = int(
-    __import__("os").environ.get("OPLOG_EVENT_CACHE_MAX_BYTES", int(8e9))
+    float(__import__("os").environ.get("OPLOG_EVENT_CACHE_MAX_BYTES", 8e9))
 )
 
 
@@ -89,8 +91,11 @@ def event_dataset(
     if _corpus_bytes(sf_dir) > EVENT_CACHE_MAX_BYTES:
         return ds  # too big to pin: stream it, let each query re-scan
     ds = ds.materialize()
-    if len(_EVENT_CACHE) > 4:  # keep at most a few corpora pinned
-        _EVENT_CACHE.clear()
+    while len(_EVENT_CACHE) > 4:  # keep at most a few corpora pinned —
+        # evict OLDEST only (insertion order): clearing everything would
+        # also drop the active corpus's sibling with_text/actor variants
+        # and re-pay the full read+parse+enrich pass per following query
+        _EVENT_CACHE.pop(next(iter(_EVENT_CACHE)))
     _EVENT_CACHE[key] = ds
     return ds
 
@@ -562,12 +567,7 @@ def first_events(sf_dir: str, n: int = FIRST_EVENTS_N) -> Dataset:
     blocks × n rows reach the final tiny sort (``agg.topk``) — the same
     shape as the hot-key top-K, which is what F9 means at 100 TB.
     """
-    from .agg import topk
-
-    ev = _mask_batches(
-        event_dataset(sf_dir),
-        lambda t: pc.not_equal(t.column("op_class"), "x"),
-    ).map_batches(
+    ev = _mask_batches(event_dataset(sf_dir), _ok).map_batches(
         lambda t: t.select(
             ["conv_id", "turn_idx", "event_seq", "ns", "op_class", "size"]
         ),
@@ -790,8 +790,6 @@ def hot_keys_docsize_external(sf_dir: str, k: int = 20) -> Dataset:
             }
         )
 
-    from .agg import topk
-
     return topk(
         g.map_batches(post, batch_format="pyarrow"),
         k,
@@ -863,7 +861,6 @@ def conv_profiles(sf_dir: str) -> Dataset:
     pre-collapses to one row per conversation present, so the exchange is
     bounded at blocks × convs-per-block rows and the text column never
     shuffles — it is dropped before the exchange)."""
-    from .agg import GroupSpec, grouped
 
     def partial(t: pa.Table) -> pa.Table:
         role = t.column("role")

@@ -131,6 +131,33 @@ def _unit_metrics(data_dir: str, unit: str) -> dict:
     }
 
 
+def _commit_group(manifest, group, data_dir: str, wall: float) -> None:
+    """Commit one group's finished units: footer-derived metrics + the M10
+    lag watermark (commit wallclock minus the partition's event-time
+    watermark, UTC-pinned, floored at 0 — TailCommand.java:1073-1082).
+    The one definition behind route() and route_aggregate(), which had
+    drifted copies of this loop."""
+    import datetime as _dt
+
+    commit_time = time.time()
+    metrics = collect_unit_metrics(data_dir, [_unit_of(f) for f in group])
+    entries = []
+    for f, e in zip(group, metrics):
+        e["input_file"] = f
+        e["wall_secs_group"] = round(wall, 3)
+        if e["max_ts"]:
+            # the event-time watermark is UTC; pin the tz before
+            # .timestamp() or the lag is off by the host's UTC offset
+            wm = (
+                _dt.datetime.fromisoformat(e["max_ts"])
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+            )
+            e["lag_secs"] = round(max(0.0, commit_time - wm), 3)
+        entries.append(e)
+    manifest.commit(entries)
+
+
 def route(
     sf_dir: str,
     out_root: str,
@@ -158,6 +185,14 @@ def route(
         files = [files[i] for i in shard_indexes]
     data_dir = os.path.join(out_root, "data")
     manifest = Manifest(os.path.join(out_root, "manifest.json"))
+    # refuse resume under a DIFFERENT row-filter window: committed units
+    # hold only in-window rows, so mixing windows silently loses data
+    manifest.ensure_meta(
+        {
+            "start_ts": None if start_ts is None else str(start_ts),
+            "end_ts": None if end_ts is None else str(end_ts),
+        }
+    )
     todo = [f for f in files if _unit_of(f) not in manifest.finished()]
     if not todo:
         return manifest
@@ -204,28 +239,7 @@ def route(
         ds.write_parquet(
             data_dir, partition_cols=["part", "sink"], compression="zstd"
         )
-        wall = time.monotonic() - t0
-        commit_time = time.time()
-        metrics = collect_unit_metrics(data_dir, [_unit_of(f) for f in group])
-        entries = []
-        for f, e in zip(group, metrics):
-            e["input_file"] = f
-            e["wall_secs_group"] = round(wall, 3)
-            # M10 lag analogue (TailCommand.java:1073-1082): commit wallclock
-            # minus the partition's event-time watermark, floored at 0
-            if e["max_ts"]:
-                import datetime as _dt
-
-                # the event-time watermark is UTC; pin the tz before
-                # .timestamp() or the lag is off by the host's UTC offset
-                wm = (
-                    _dt.datetime.fromisoformat(e["max_ts"])
-                    .replace(tzinfo=_dt.timezone.utc)
-                    .timestamp()
-                )
-                e["lag_secs"] = round(max(0.0, commit_time - wm), 3)
-            entries.append(e)
-        manifest.commit(entries)
+        _commit_group(manifest, group, data_dir, time.monotonic() - t0)
     return manifest
 
 
@@ -363,6 +377,9 @@ def route_aggregate(
         files = [files[i] for i in shard_indexes]
     data_dir = os.path.join(out_root, "data")
     manifest = Manifest(os.path.join(out_root, "manifest.json"))
+    # same window ledger as route(): this path routes UNFILTERED rows, so a
+    # root previously committed under a ts window must refuse the resume
+    manifest.ensure_meta({"start_ts": None, "end_ts": None})
     done = manifest.finished()
     todo = [f for f in files if _unit_of(f) not in done]
 
@@ -413,8 +430,13 @@ def route_aggregate(
             shutil.rmtree(part_dir)
     os.makedirs(data_dir, exist_ok=True)
 
-    g = units_per_commit or len(todo)
-    groups = [todo[i : i + g] for i in range(0, len(todo), g)]
+    # a fully-committed rerun (the idempotent resume the docstring
+    # promises) has todo == [] — range(0, 0, 0) would raise
+    if todo:
+        g = units_per_commit or len(todo)
+        groups = [todo[i : i + g] for i in range(0, len(todo), g)]
+    else:
+        groups = []
     lookups_ref = put_lookups() if todo else None
     for group in groups:
         t0 = time.monotonic()
@@ -447,23 +469,12 @@ def route_aggregate(
             zero_copy_batch=True,
         ).materialize()  # drives the fused read→parse→enrich→write scan
         partial_mats.append(raw)
-        wall = time.monotonic() - t0
-        commit_time = time.time()
-        metrics = collect_unit_metrics(data_dir, [_unit_of(f) for f in group])
-        entries = []
-        for f, e in zip(group, metrics):
-            e["input_file"] = f
-            e["wall_secs_group"] = round(wall, 3)
-            if e["max_ts"]:
-                import datetime as _dt
+        _commit_group(manifest, group, data_dir, time.monotonic() - t0)
 
-                wm = (
-                    _dt.datetime.fromisoformat(e["max_ts"])
-                    .replace(tzinfo=_dt.timezone.utc)
-                    .timestamp()
-                )
-                e["lag_secs"] = round(max(0.0, commit_time - wm), 3)
-            entries.append(e)
-        manifest.commit(entries)
-
+    if not partial_mats:
+        # fully-committed manifest whose data dir is gone (or an empty
+        # corpus): nothing to merge — typed empty reports when the caller
+        # provided them, else the loud no-partials contract error below
+        if empties is not None:
+            return manifest, [ray.data.from_arrow(e) for e in empties]
     return manifest, merge_union_partials(partial_mats, plan, empties=empties)

@@ -30,10 +30,28 @@ class Manifest:
     def __init__(self, path: str):
         self.path = path
         self._entries: dict[str, dict[str, Any]] = {}
+        self._meta: dict[str, Any] = {}
         if os.path.exists(path):
             with open(path) as f:
                 data = json.load(f)
             self._entries = {e["unit"]: e for e in data["units"]}
+            self._meta = data.get("meta", {})
+
+    def ensure_meta(self, meta: dict[str, Any]) -> None:
+        """Record the run's row-filter window (start_ts/end_ts) and refuse
+        to RESUME under a different one: committed units contain only
+        in-window rows, so a rerun with a wider (or no) window would see
+        every unit as finished and silently return routed output that
+        permanently lacks the out-of-window rows.  A pre-meta manifest
+        (older runs) adopts the current window without complaint."""
+        if self._entries and self._meta and self._meta != meta:
+            raise ValueError(
+                f"manifest at {self.path} was committed under filter window "
+                f"{self._meta}, but this run uses {meta} — committed units "
+                "hold only the old window's rows, so resuming would produce "
+                "incomplete output; use a fresh out_root for a new window"
+            )
+        self._meta = meta
 
     @property
     def units(self) -> dict[str, dict[str, Any]]:
@@ -50,7 +68,13 @@ class Manifest:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         with open(tmp, "w") as f:
             json.dump(
-                {"version": 1, "units": list(self._entries.values())}, f, indent=1
+                {
+                    "version": 1,
+                    "meta": self._meta,
+                    "units": list(self._entries.values()),
+                },
+                f,
+                indent=1,
             )
         os.replace(tmp, self.path)
 

@@ -178,3 +178,43 @@ def test_fused_basename_no_collision_on_equal_endpoints(tmp_path):
 
     total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     assert total == 8
+
+
+def test_fused_rerun_after_full_completion(tmp_path):
+    """A second route_aggregate over a fully-committed root (the idempotent
+    rerun the docstring promises) previously crashed with range(0, 0, 0)
+    (review finding); it must recover the partials from the routed layout
+    and produce identical reports."""
+    root = str(tmp_path / "fused")
+    _, first = route_aggregate(SF_DIR, root, SPECS)
+    first_dfs = [
+        _sorted_df(d, list(s.keys)) for d, s in zip(first, SPECS)
+    ]
+    _, again = route_aggregate(SF_DIR, root, SPECS)
+    for f, a, s in zip(first_dfs, again, SPECS):
+        assert_frames_match(a, f, f"rerun[{s.keys}]")
+
+
+def test_route_refuses_resume_under_different_window(tmp_path):
+    """The manifest records the row-filter window; resuming a windowed root
+    with a different (or no) window must raise instead of silently
+    returning routed output that lacks the out-of-window rows (review
+    finding: every unit read as finished, no error, incomplete data)."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+    import os
+
+    from oplog_analyzer_ray.pipelines.route import ensure_transcripts
+
+    src = ensure_transcripts(SF_DIR)
+    f0 = sorted(_glob.glob(os.path.join(src, "*.parquet")))[0]
+    ts = pq.read_table(f0, columns=["ts"]).column("ts").to_pylist()
+    mid = sorted(ts)[len(ts) // 2]
+
+    root = str(tmp_path / "windowed")
+    route(SF_DIR, root, start_ts=mid)  # commit every unit, window-filtered
+    with pytest.raises(ValueError, match="filter window"):
+        route(SF_DIR, root)  # wider window over the same root
+    # same window resumes fine (no-op: everything committed)
+    m = route(SF_DIR, root, start_ts=mid)
+    assert len(m.finished()) > 0
