@@ -38,7 +38,15 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
-from .agg import MERGE_BUCKETS, dyn_buckets
+from .agg import (
+    GroupSpec,
+    MERGE_BUCKETS,
+    dyn_buckets,
+    final_empty,
+    grouped,
+    hash_bucket_apply,
+    pin_schema,
+)
 from .dedup import dedup_decision
 from .text import (
     DECON_EVAL_DOCS,
@@ -135,10 +143,7 @@ def curated_corpus(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import hash_bucket_apply
     from .dedup import _use_exchange
-
-    from .agg import pin_schema
 
     # pin AFTER the sort (which drops empty blocks): a fully-filtered
     # corpus — every doc gated out — must still surface the documented
@@ -176,9 +181,6 @@ def split_leakage_report(sf_dir: str) -> Dataset:
     window in one statement (oracle.SPLIT_LEAKAGE_REPORT)."""
     import hashlib
 
-    import numpy as np
-
-    from .agg import GroupSpec, grouped, hash_bucket_apply
     from .dedup import _index_in_strict, _use_exchange
     from .text import (
         SPLIT_SALT,
@@ -193,15 +195,13 @@ def split_leakage_report(sf_dir: str) -> Dataset:
 
     def dec_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        import numpy as _np
-
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "cluster_id": t.column("cluster_id"),
-                "code": pa.array(_np.full(n, -1, dtype=_np.int64)),
-                "n_tokens": pa.array(_np.full(n, -1, dtype=_np.int64)),
-                "_side": pa.array(_np.zeros(n, dtype=_np.int8)),
+                "code": pa.array(np.full(n, -1, dtype=np.int64)),
+                "n_tokens": pa.array(np.full(n, -1, dtype=np.int64)),
+                "_side": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
 
@@ -307,7 +307,6 @@ def split_leakage_report(sf_dir: str) -> Dataset:
         ).empty_table(),
     )
 
-    from .agg import final_empty
 
     hspec = GroupSpec(
         keys=("code",), count=True, sum_cols=("n_tokens", "leaked")
@@ -337,7 +336,6 @@ def split_leakage_report(sf_dir: str) -> Dataset:
             }
         )
 
-    from .agg import pin_schema
 
     # schema pin: Ray skips map UDFs on empty blocks and sort drops them,
     # so an empty corpus would otherwise surface a schema-less report

@@ -43,12 +43,37 @@ from ..pipelines.agg import pin_schema as _pin_schema
 MEDIA_BATCH_SIZE = 64
 FAKE_FRAME_BYTES = 1024
 
-# media_features' documented output (fake-codec driver surface) — the pin
-# keeps an empty documents corpus from surfacing a schema-less dataset
+# documented output schemas, used as empty pins so a zero-row media input
+# never surfaces a schema-less dataset (Ray skips actor UDFs on empty
+# blocks and sort drops the empties)
 _FEATURE_SCHEMA = pa.schema(
     [("media_id", pa.int64()), ("n_bytes", pa.int64()),
      ("fp8", pa.string()), ("n_frames", pa.int64())]
 )
+_FRAME_SCHEMA = pa.schema(
+    [("media_id", pa.int64()), ("frame_idx", pa.int64()),
+     ("frame_off", pa.int64()), ("frame_bytes", pa.int64()),
+     ("frame_fp8", pa.string())]
+)
+_RESIZE_SCHEMA = pa.schema(
+    [("media_id", pa.int64()), ("in_bytes", pa.int64()),
+     ("out_bytes", pa.int64()), ("out_fp8", pa.string())]
+)
+_BASE_DECODE = [("media_id", pa.int64()), ("n_bytes", pa.int64()),
+                ("fp8", pa.string())]
+_DECODE_SCHEMAS = {
+    "wav": pa.schema(
+        _BASE_DECODE
+        + [("n_channels", pa.int64()), ("sample_rate", pa.int64()),
+           ("n_samples", pa.int64()), ("rms", pa.float64())]
+    ),
+    "ppm": pa.schema(
+        _BASE_DECODE
+        + [("width", pa.int64()), ("height", pa.int64()),
+           ("maxval", pa.int64()), ("mean_value", pa.float64())]
+    ),
+}
+_DECODE_SCHEMAS["pgm"] = _DECODE_SCHEMAS["ppm"]
 
 
 def _payload_view(batch: pa.Table, name: str = "payload"):
@@ -293,11 +318,7 @@ def media_frame_sample(sf_dir: str) -> Dataset:
             concurrency=(1, 4),
         )
         .sort(["media_id", "frame_idx"]),
-        pa.schema(
-            [("media_id", pa.int64()), ("frame_idx", pa.int64()),
-             ("frame_off", pa.int64()), ("frame_bytes", pa.int64()),
-             ("frame_fp8", pa.string())]
-        ),
+        _FRAME_SCHEMA,
     )
 
 
@@ -384,10 +405,7 @@ def media_resize(sf_dir: str) -> Dataset:
             lambda t: t.drop_columns(["payload"]), batch_format="pyarrow"
         )
         .sort(["media_id"]),
-        pa.schema(
-            [("media_id", pa.int64()), ("in_bytes", pa.int64()),
-             ("out_bytes", pa.int64()), ("out_fp8", pa.string())]
-        ),
+        _RESIZE_SCHEMA,
     )
 
 
@@ -428,7 +446,7 @@ def media_decode_features(media_path: str, codec: str) -> Dataset:
     with the named real codec.  This is the production shape for a media
     corpus: payloads stay opaque binary through the scan, decode once per
     actor-pool batch, only typed features leave the stage."""
-    return (
+    return _pin_schema(
         ray.data.read_parquet(media_path, columns=["media_id", "payload"])
         .map_batches(
             MediaFeatureStage,
@@ -437,5 +455,6 @@ def media_decode_features(media_path: str, codec: str) -> Dataset:
             batch_size=MEDIA_BATCH_SIZE,
             concurrency=(1, 4),
         )
-        .sort(["media_id"])
+        .sort(["media_id"]),
+        _DECODE_SCHEMAS[codec],
     )

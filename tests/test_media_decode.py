@@ -148,3 +148,29 @@ def test_corrupt_pnm_raises():
         _decode_pnm(memoryview(b"P6\n3 4\n255\nxx"), b"P6")  # truncated raster
     with pytest.raises(ValueError):
         _decode_pnm(memoryview(b"JUNK"), b"P6")  # wrong magic
+
+
+def test_decode_features_empty_media_table_keeps_schema(tmp_path):
+    """A zero-row media table must surface each codec's documented typed
+    schema instead of a schema-less dataset (review finding: the real-codec
+    pipeline was left out of the empty-pin hardening its three fake-codec
+    siblings got)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oplog_analyzer_ray.stages.media import media_decode_features
+
+    pq.write_table(
+        pa.schema(
+            [("media_id", pa.int64()), ("payload", pa.binary())]
+        ).empty_table(),
+        tmp_path / "media.parquet",
+    )
+    for codec, extra in (
+        ("wav", ["n_channels", "sample_rate", "n_samples", "rms"]),
+        ("ppm", ["width", "height", "maxval", "mean_value"]),
+        ("pgm", ["width", "height", "maxval", "mean_value"]),
+    ):
+        out = media_decode_features(str(tmp_path / "media.parquet"), codec)
+        assert out.schema().names == ["media_id", "n_bytes", "fp8"] + extra
+        assert out.count() == 0
